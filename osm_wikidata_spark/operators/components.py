@@ -1,0 +1,105 @@
+"""Transitive clustering: connected components over the match-edge DataFrame
+(SURVEY.md §2.5 J8; required by BASELINE.json north_rule).
+
+Implements the alternating large-star / small-star algorithm of Kiveris et
+al., "Connected Components in MapReduce and Beyond" (SOCC'14) as pure
+DataFrame self-join + min-aggregation rounds:
+
+* **large-star**: for every node u, connect each strictly-larger neighbour
+  to min(Γ(u) ∪ {u}).
+* **small-star**: for every node u, connect u and each neighbour ≤ u to the
+  minimum of that set.
+
+Each star pass is one shuffle (groupBy u) plus one broadcast-free join back;
+convergence is when the edge set is a fixpoint (a forest of depth-1 stars
+whose centres are the component minima).  Rounds are ``localCheckpoint``-ed
+so lineage stays bounded — the 10^12-scale variant swaps that for a
+checkpoint-table write per round (plans/checkpoint.py) which also makes the
+loop resumable.
+
+There is no reference implementation to cite — the reference enforces 1:1
+matches instead (`/root/reference/matcher/matcher.py:1429-1481`); transitive
+clustering is graft-new per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """(u, v) with u < v, self-loops dropped, deduplicated."""
+    return (
+        edges.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _bidirectional(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Replace every edge (u, v>u) by (v, min(Γ(u) ∪ {u}))."""
+    nb = _bidirectional(e)
+    mins = nb.groupBy("u").agg(F.min("v").alias("nb_min"))
+    mins = mins.select("u", F.least("u", "nb_min").alias("min_n"))
+    return _canonical(
+        nb.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("min_n").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For every node, hang itself and its ≤ neighbours off their minimum."""
+    nb = _bidirectional(e).filter(F.col("v") <= F.col("u"))
+    mins = nb.groupBy("u").agg(F.min("v").alias("min_n"))
+    rehung = nb.join(mins, "u").select(F.col("v").alias("u"), F.col("min_n").alias("v"))
+    centres = mins.select(F.col("u"), F.col("min_n").alias("v"))
+    return _canonical(rehung.union(centres))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "left_id",
+    dst: str = "right_id",
+    max_iterations: int = 30,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Label every node with the minimum node id of its component.
+
+    Returns ``(node, component)``.  O(log^2 n) rounds; on the chain/star
+    graphs of the tests, <10.
+    """
+    e = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        stepped = _small_star(_large_star(e))
+        if checkpoint:
+            stepped = stepped.localCheckpoint(eager=True)
+        unchanged = (
+            stepped.count() == e.count()
+            and stepped.exceptAll(e).limit(1).count() == 0
+        )
+        e = stepped
+        if unchanged:
+            break
+
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    # at the fixpoint edges are (root, child) with root < child
+    labels = (
+        e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )

@@ -1,0 +1,240 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Graft-new (driver mandate): exact, MinHash+LSH, SimHash, and n-gram Jaccard
+near-dup detection over a document table.  All deterministic and engine
+-portable: hashes are md5 hex strings (identical in Spark and DuckDB), so
+every operator here is oracle-checkable.
+
+Scale notes:
+* exact dedup is one hash-shuffle on a 32-char key — the canonical pattern.
+* MinHash/LSH: the shingle explosion is the expensive part; band buckets
+  bound the pair candidate count, and buckets above ``max_bucket`` are
+  dropped (boilerplate-cluster defence) exactly like blocking hot-key caps.
+* all joins key on short hex strings → compact shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalize_text(col: str = "text") -> F.Column:
+    """Lowercase, collapse whitespace — the canonical dedup key input."""
+    return F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalised) documents.
+
+    Returns (fingerprint, n_docs, doc_ids) for groups with n_docs > 1.
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of the normalised text."""
+    words = F.split(normalize_text(text_col), " ")
+    # slide an n-window over the word array with transform + slice
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+
+
+def minhash_signature(shingles_col: F.Column, n_hashes: int = 16) -> F.Column:
+    """Array of per-seed minima of md5(seed || shingle).
+
+    Lexicographic min over hex digests is a valid uniform min-hash family and
+    is bit-identical in any engine with md5 — the portability trick that
+    makes the DuckDB oracle exact.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles_col, lambda s, i=i: F.md5(F.concat(F.lit(f"seed{i}:"), s)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows = n_hashes / bands per band; a pair lands in a bucket when one whole
+    band of its signatures agrees.  Returns (left_id, right_id, band) pairs
+    with left < right.
+    """
+    rows_per_band = n_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(word_shingles(text_col, shingle_n), n_hashes).alias("sig"),
+    )
+    band_keys = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                "|",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    sizes = band_keys.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    keep = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select("band", "bucket")
+    kept = band_keys.join(F.broadcast(keep), ["band", "bucket"])
+
+    left = kept.select(F.col("doc").alias("left_id"), "band", "bucket")
+    right = kept.select(F.col("doc").alias("right_id"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "band")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    inverted-index join: explode shingles → self-join on shingle → count
+    intersections → |A∪B| = |A| + |B| − |A∩B|.
+    """
+    with_sets = docs.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("sh")
+    ).withColumn("set_size", F.size("sh"))
+    inverted = with_sets.select("doc", "set_size", F.explode("sh").alias("shingle"))
+    left = inverted.select(
+        F.col("doc").alias("left_id"), F.col("set_size").alias("left_n"), "shingle"
+    )
+    right = inverted.select(
+        F.col("doc").alias("right_id"), F.col("set_size").alias("right_n"), "shingle"
+    )
+    common = (
+        left.join(right, "shingle")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id", "left_n", "right_n")
+        .agg(F.count("*").alias("common"))
+    )
+    return common.select(
+        "left_id",
+        "right_id",
+        (
+            F.col("common")
+            / (F.col("left_n") + F.col("right_n") - F.col("common"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(shingles_col: F.Column) -> F.Column:
+    """64-bit SimHash from shingle md5s, entirely JVM-side.
+
+    For each of 64 bit positions, sum ±1 votes from every shingle's hash bit;
+    the sign of the sum is the output bit.  Uses conv(hex→bigint) + bit ops
+    inside higher-order functions — no Python.
+    """
+    # first 16 hex chars → unsigned-ish 64-bit value per shingle
+    hashes = F.transform(
+        shingles_col, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda bit: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda vote, bit: F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), bit.cast("int"))).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs whose SimHashes are within ``max_hamming`` bits.
+
+    Candidate generation blocks on 16-bit hash quarters (a pair within
+    Hamming distance ≤ 6 of a 60-bit hash shares at least one of 4 quarters
+    by pigeonhole), then verifies exact Hamming distance.
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("doc"),
+        simhash64(word_shingles(text_col, shingle_n)).alias("sim"),
+    )
+    quarters = hashed.select(
+        "doc",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright("sim", q * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qs"),
+    ).select("doc", "sim", F.col("qs.q").alias("q"), F.col("qs.qv").alias("qv"))
+    left = quarters.select(
+        F.col("doc").alias("left_id"), F.col("sim").alias("left_sim"), "q", "qv"
+    )
+    right = quarters.select(
+        F.col("doc").alias("right_id"), F.col("sim").alias("right_sim"), "q", "qv"
+    )
+    candidates = (
+        left.join(right, ["q", "qv"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    hamming = F.bit_count(F.col("left_sim").bitwiseXOR(F.col("right_sim")))
+    return candidates.select(
+        "left_id", "right_id", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,192 @@
+"""End-to-end entity-resolution pipeline over transcripts (SURVEY.md §3.1).
+
+Stages (each checkpointable, each audited):
+
+    transcripts ──extract──► entities (conv_id, names[], tokens[])
+        │                        │ explode tokens
+        │                        ▼
+        │                    blocks (block_key, id)      [hot keys capped]
+        │                        │ salted self-join
+        │                        ▼
+        │                    pairs (left_id, right_id, block_key)
+        │                        │ name cross-product → pandas-UDF cascade
+        │                        ▼
+        │                    edges (matched pairs, kind, rule)
+        │                        │ large-star/small-star
+        │                        ▼
+        └──────────────────► components (conv_id, component)
+
+The reference executes the same semantics as a per-item SQL loop
+(`/root/reference/matcher/place.py:1190-1237`); here every stage is one
+set-oriented DataFrame op so Catalyst/AQE own the physical plan.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.udfs import block_tokens_udf, name_decision_udf
+from ..operators.blocking import build_blocks, salted_pair_join
+from ..operators.components import connected_components
+from ..sources.transcripts import GLOBAL_ENDINGS
+from .audit import append_audit, block_skew_metrics, partition_metrics
+from .checkpoint import stage
+
+_MENTION_PATTERN = r'"([^"]+)"'
+
+
+def extract_entities(transcripts: DataFrame) -> DataFrame:
+    """One row per conversation: mention names + blocking tokens.
+
+    Analog of the reference's ``Item.names()`` assembly
+    (model.py:703-753) — names come from quoted mentions in turn text.
+    """
+    mentions = transcripts.select(
+        F.col("conv_id"),
+        F.explode(F.regexp_extract_all("text", F.lit(_MENTION_PATTERN), F.lit(1))).alias(
+            "name"
+        ),
+    )
+    per_name = mentions.dropDuplicates(["conv_id", "name"]).withColumn(
+        "tokens", block_tokens_udf("name")
+    )
+    return per_name.groupBy("conv_id").agg(
+        F.sort_array(F.collect_set("name")).alias("names"),
+        F.array_distinct(F.flatten(F.collect_list("tokens"))).alias("tokens"),
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    entities: DataFrame,
+    endings: list[str] | None = None,
+) -> DataFrame:
+    """Name cross-product scoring of candidate pairs via the kernel UDF.
+
+    Exact-name pairs are deduplicated *before* the UDF (the batch-level
+    equivalent of the reference's memo cache, match.py:1029-1048), scored
+    once, and joined back.
+    """
+    endings_col = (
+        F.array(*[F.lit(e) for e in (endings or GLOBAL_ENDINGS)])
+        if (endings or GLOBAL_ENDINGS)
+        else F.lit(None).cast("array<string>")
+    )
+    names = entities.select("conv_id", "names")
+    exploded = (
+        pairs.join(names.withColumnRenamed("conv_id", "left_id").withColumnRenamed("names", "left_names"), "left_id")
+        .join(names.withColumnRenamed("conv_id", "right_id").withColumnRenamed("names", "right_names"), "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            "block_key",
+            F.explode("left_names").alias("left_name"),
+            F.col("right_names"),
+        )
+        .select(
+            "left_id", "right_id", "block_key", "left_name",
+            F.explode("right_names").alias("right_name"),
+        )
+    )
+    # the cascade is asymmetric (record-side-only retries like drop_initials,
+    # match.py:688-693) and transcripts have no record/entity sides, so score
+    # both directions and accept either
+    distinct_name_pairs = exploded.select("left_name", "right_name").distinct()
+    no_places = F.lit(None).cast("array<string>")
+    fwd = name_decision_udf("left_name", "right_name", endings_col, no_places)
+    rev = name_decision_udf("right_name", "left_name", endings_col, no_places)
+    scored_names = (
+        distinct_name_pairs.withColumn("fwd", fwd)
+        .withColumn("rev", rev)
+        .select(
+            "left_name",
+            "right_name",
+            F.struct(
+                (F.col("fwd.matched") | F.col("rev.matched")).alias("matched"),
+                F.coalesce(
+                    F.when(F.col("fwd.matched"), F.col("fwd.kind")),
+                    F.col("rev.kind"),
+                ).alias("kind"),
+                F.coalesce(
+                    F.when(F.col("fwd.matched"), F.col("fwd.rule")),
+                    F.col("rev.rule"),
+                ).alias("rule"),
+            ).alias("decision"),
+        )
+    )
+    scored = exploded.join(scored_names, ["left_name", "right_name"])
+    return (
+        scored.groupBy("left_id", "right_id")
+        .agg(
+            F.min("block_key").alias("block_key"),
+            F.max(F.col("decision.matched")).alias("matched"),
+            F.min(F.when(F.col("decision.matched"), F.col("decision.kind"))).alias("kind"),
+            F.min(F.when(F.col("decision.matched"), F.col("decision.rule"))).alias("rule"),
+        )
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    run_dir: str | None = None,
+    run_id: str | None = None,
+    endings: list[str] | None = None,
+    max_block_size: int | None = 1000,
+    salt: int = 8,
+) -> dict[str, DataFrame]:
+    """Full blocking → scoring → clustering run.
+
+    Returns the named stage outputs; with ``run_dir`` each stage is
+    checkpointed (resumable) and audited.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    entities = stage(spark, run_dir, "entities", lambda: extract_entities(transcripts))
+    append_audit(partition_metrics(entities, run_id, "entities"), run_dir, "partitions")
+
+    blocks = stage(
+        spark,
+        run_dir,
+        "blocks",
+        lambda: build_blocks(entities, "conv_id", "tokens", max_block_size),
+    )
+    append_audit(block_skew_metrics(blocks, run_id), run_dir, "blocks")
+
+    def _pairs() -> DataFrame:
+        p = salted_pair_join(blocks, blocks, salt=salt)
+        return p.filter(F.col("left_id") < F.col("right_id"))
+
+    pairs = stage(spark, run_dir, "pairs", _pairs)
+    append_audit(partition_metrics(pairs, run_id, "pairs"), run_dir, "partitions")
+
+    edges = stage(
+        spark, run_dir, "edges", lambda: score_pairs(pairs, entities, endings)
+    )
+    append_audit(partition_metrics(edges, run_id, "edges"), run_dir, "partitions")
+
+    def _components() -> DataFrame:
+        accepted = edges.filter(F.col("matched"))
+        labels = connected_components(accepted, "left_id", "right_id")
+        # singletons: conversations with no accepted edge
+        return (
+            entities.select(F.col("conv_id"))
+            .join(labels.withColumnRenamed("node", "conv_id"), "conv_id", "left")
+            .select(
+                "conv_id",
+                F.coalesce("component", "conv_id").alias("component"),
+            )
+        )
+
+    components = stage(spark, run_dir, "components", _components)
+    append_audit(partition_metrics(components, run_id, "components"), run_dir, "partitions")
+
+    return {
+        "entities": entities,
+        "blocks": blocks,
+        "pairs": pairs,
+        "edges": edges,
+        "components": components,
+    }

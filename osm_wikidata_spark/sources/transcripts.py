@@ -1,0 +1,157 @@
+"""Deterministic synthetic transcript generator (BASELINE.json input_hint).
+
+Produces the authoritative input shape::
+
+    transcripts(conv_id string, turn_idx int, role string,
+                text string, tool string, ts timestamp)
+
+Each conversation is "about" one underlying entity drawn from
+``VARIANT_GROUPS`` — name-variant clusters taken from the reference's
+labeled fixtures (tests/fixtures.py), so ground-truth clusters are known by
+construction: conversations whose embedded mention names sit in the same
+group belong to the same entity cluster; different groups never match under
+the global ``GLOBAL_ENDINGS`` trim set (verified by tests/test_generator.py
+against the kernel itself).
+
+Mentions are embedded in double quotes inside turn text, so the extraction
+stage is a plain ``regexp_extract_all`` — the graft analog of the
+reference's name projection (wikidata.py:934-1015).
+
+Everything is generated Spark-side from ``spark.range`` + a broadcast
+variant dimension: no driver-side loops, scales to arbitrary row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Name-variant groups: all intra-group pairs match under GLOBAL_ENDINGS,
+# no cross-group pair does.  Sources cited per group (reference test line).
+VARIANT_GROUPS: list[list[str]] = [
+    ["St. Michael's Church", "Church Of St Michael"],               # :354-358
+    ["Oxmoor Mall", "Oxmoor Center"],                               # :488-490
+    ["Rainbow Grocery Coop", "Rainbow Grocery Cooperative",
+     "RGC – Rainbow Grocery Coop"],                                 # :303,514-517
+    ["Lake Number Ten", "Lake No. 10"],                             # :415-420
+    ["HEB Center @ Cedar Park", "H-E-B Center at Cedar Park"],      # :455-459
+    ["110 Livingston", "110 Livingston Street"],                    # :466
+    ["Augustine Steward House", "Augustine Steward's House"],       # :439-443
+    ["The Old Rectory", "The Rectory"],                             # :471
+    ["Walton on the Hill", "Walton-on-the-Hill"],                   # :193-196
+    ["Hôpital Saint-François d'Assise",
+     "Hôpital Saint-François-d'Assise"],                            # :188-191
+    ["Leeds Bradford International",
+     "Leeds Bradford International Airport"],                       # :293-296
+    ["Times Furnishing", "Times Furnishing Company Building"],      # :274
+    ["Bishop Justus CofE School",
+     "Bishop Justus Church of England School",
+     "Bishop Justus CE School"],                                    # :530-537
+    ["New York Skyports Incorporated Seaplane Base",
+     "New York Skyports Inc. Seaplane Base"],                       # :285-287
+    ["Boulder Railroad Depot (Historic)", "Boulder Railroad Depot"],  # :270-272
+    ["Kunkelspass", "Кункелспас"],                                  # :260
+    ["Tricketts Cross", "Trickett's Cross, Dorset"],                # :262
+    ["Church and 18th Street", "Church Street & 18th Street"],      # :265
+    ["St Peter & St Paul", "St Peter and St Paul, Bromley"],        # :281-283
+    # singletons — hard negatives sharing block tokens with other groups
+    ["Manhattan Community Board 1"],                                # :156-162
+    ["Manhattan Community Board 11"],
+    ["Boots"],                                                      # :1025-1029
+    ["The Boot Inn"],
+    ["Hall"],                                                       # :520-527
+    ["Post Office"],
+    ["17 Mill Lane"],                                               # :463
+    ["1, Mill Lane"],
+    ["Livingston"],                                                 # :467
+]
+
+# Trim endings shared by the whole transcript domain (per-pair endings are an
+# OSM-ism; the graft applies one curated set).
+GLOBAL_ENDINGS: list[str] = [
+    "church", "church of", "mall", "center", "airport",
+    "international airport", "inn", "hall", "post office",
+]
+
+_TEMPLATES = [
+    'I was reading about "{}" yesterday, can you find details?',
+    'Here is what I found regarding "{}": several records disagree.',
+    'Let me search for "{}" in the registry.',
+    'The entry for "{}" was updated last month.',
+]
+
+_ROLES = ["user", "assistant", "tool", "assistant"]
+
+
+def variant_dimension(spark: SparkSession) -> DataFrame:
+    """Small broadcastable dim: (group_id, variant_idx, name, n_variants)."""
+    rows = [
+        (g, v, name, len(group))
+        for g, group in enumerate(VARIANT_GROUPS)
+        for v, name in enumerate(group)
+    ]
+    return spark.createDataFrame(
+        rows, "group_id int, variant_idx int, name string, n_variants int"
+    )
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    n_conversations: int = 300,
+    turns_per_conv: int = 6,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Generate (transcripts, truth).
+
+    ``truth(conv_id, group_id)`` is the ground-truth cluster assignment.
+    Deterministic for a given (n_conversations, turns_per_conv, seed):
+    conversation *i* is about group ``i % n_groups`` via variant
+    ``xxhash(i, seed) % n_variants`` — every variant of every group appears
+    once n_conversations covers the groups a few times over.
+    """
+    n_groups = len(VARIANT_GROUPS)
+    dim = variant_dimension(spark)
+
+    convs = (
+        spark.range(n_conversations)
+        .select(
+            F.col("id").alias("conv_n"),
+            F.format_string("conv-%06d", F.col("id")).alias("conv_id"),
+            (F.col("id") % n_groups).cast("int").alias("group_id"),
+        )
+        .join(F.broadcast(dim.select("group_id", "n_variants").distinct()), "group_id")
+        .withColumn(
+            "variant_idx",
+            F.pmod(F.xxhash64(F.col("conv_n"), F.lit(seed)), F.col("n_variants")).cast("int"),
+        )
+        .join(F.broadcast(dim), ["group_id", "variant_idx", "n_variants"])
+    )
+
+    truth = convs.select("conv_id", "group_id")
+
+    template_col = F.array(*[F.lit(t) for t in _TEMPLATES])
+    role_col = F.array(*[F.lit(r) for r in _ROLES])
+
+    turns = convs.join(
+        spark.range(turns_per_conv).select(F.col("id").cast("int").alias("turn_idx")),
+        how="cross",
+    )
+    transcripts = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.element_at(role_col, F.pmod(F.col("turn_idx"), F.lit(len(_ROLES))) + 1).alias("role"),
+        F.replace(
+            F.element_at(
+                template_col,
+                (F.pmod(F.xxhash64("conv_n", "turn_idx", F.lit(seed)), F.lit(len(_TEMPLATES))) + 1).cast("int"),
+            ),
+            F.lit("{}"),
+            F.col("name"),
+        ).alias("text"),
+        F.when(
+            F.pmod(F.col("turn_idx"), F.lit(len(_ROLES))) == 2, F.lit("registry_search")
+        ).alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("conv_n") * 3600 + F.col("turn_idx") * 60
+        ).alias("ts"),
+    )
+    return transcripts, truth

@@ -1,0 +1,48 @@
+"""Meta-test: the synthetic transcript generator's ground truth is consistent
+with the kernel — every intra-group name pair matches (and shares a blocking
+token, so the pipeline will actually score it); no cross-group pair matches.
+
+This is what makes pairwise F1 == 1.0 achievable by construction, per the
+BASELINE.json metric definition ("labeled pairs at the same blocking key").
+"""
+
+from __future__ import annotations
+
+import re
+
+from osm_wikidata_spark.functions.udfs import BLOCK_STOPWORDS
+from osm_wikidata_spark.kernel.cascade import match_names
+from osm_wikidata_spark.sources.transcripts import GLOBAL_ENDINGS, VARIANT_GROUPS
+from osm_wikidata_spark.text.normalize import tidy_name
+
+_SPLIT = re.compile(r"[^0-9a-z]+")
+
+
+def _tokens(name: str) -> set[str]:
+    return {
+        t
+        for t in _SPLIT.split(tidy_name(name.lower()))
+        if len(t) >= 2 and t not in BLOCK_STOPWORDS
+    }
+
+
+def _sym_match(a: str, b: str):
+    return match_names(a, b, set(GLOBAL_ENDINGS)) or match_names(
+        b, a, set(GLOBAL_ENDINGS)
+    )
+
+
+def test_intra_group_pairs_match_and_share_block():
+    for group in VARIANT_GROUPS:
+        for i, a in enumerate(group):
+            for b in group[i + 1:]:
+                assert _tokens(a) & _tokens(b), (a, b)
+                assert _sym_match(a, b), (a, b)
+
+
+def test_cross_group_pairs_do_not_match():
+    for gi, group in enumerate(VARIANT_GROUPS):
+        for other in VARIANT_GROUPS[gi + 1:]:
+            for a in group:
+                for b in other:
+                    assert not _sym_match(a, b), (a, b)

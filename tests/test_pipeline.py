@@ -1,0 +1,102 @@
+"""End-to-end pipeline tests: transcripts → components, graded as pairwise F1
+against the generator's ground truth (BASELINE.json metric: F1 ≥ 0.99), plus
+the per-turn text-equality invariant and checkpoint resume."""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import functions as F
+
+from osm_wikidata_spark.plans.checkpoint import completed_stages
+from osm_wikidata_spark.plans.pipeline import extract_entities, run_pipeline
+from osm_wikidata_spark.sources.transcripts import synth_transcripts
+
+
+def _pairwise_f1(components: dict[str, str], truth: dict[str, int]) -> float:
+    def pairs(assign: dict) -> set[frozenset]:
+        by_cluster: dict = {}
+        for k, v in assign.items():
+            by_cluster.setdefault(v, []).append(k)
+        out = set()
+        for members in by_cluster.values():
+            out.update(frozenset(p) for p in itertools.combinations(sorted(members), 2))
+        return out
+
+    got, want = pairs(components), pairs(truth)
+    if not got and not want:
+        return 1.0
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want) if want else 0.0
+    if precision + recall == 0:
+        return 0.0
+    return 2 * precision * recall / (precision + recall)
+
+
+def test_pipeline_f1(spark):
+    transcripts, truth = synth_transcripts(spark, n_conversations=232, turns_per_conv=4)
+    out = run_pipeline(spark, transcripts)
+    components = {
+        r["conv_id"]: r["component"] for r in out["components"].collect()
+    }
+    truth_map = {r["conv_id"]: r["group_id"] for r in truth.collect()}
+    assert set(components) == set(truth_map)
+    f1 = _pairwise_f1(components, truth_map)
+    assert f1 >= 0.99, f"pairwise F1 {f1:.4f} < 0.99"
+
+
+def test_entity_extraction(spark):
+    transcripts, _ = synth_transcripts(spark, n_conversations=29, turns_per_conv=4)
+    entities = extract_entities(transcripts)
+    rows = entities.collect()
+    assert len(rows) == 29
+    for r in rows:
+        assert len(r["names"]) == 1  # one mention name per conversation
+        assert r["tokens"]
+
+
+def test_per_turn_invariant(spark):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering must
+    survive a round-trip through the engine's partitioning (input_hint)."""
+    transcripts, _ = synth_transcripts(spark, n_conversations=50, turns_per_conv=5)
+    round_trip = (
+        transcripts.repartition(16, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+    before = transcripts.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").collect()
+    after = round_trip.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").collect()
+    assert before == after
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    transcripts, _ = synth_transcripts(spark, n_conversations=40, turns_per_conv=3)
+    run_dir = os.path.join(str(tmp_path), "run1")
+
+    first = run_pipeline(spark, transcripts, run_dir=run_dir, run_id="r1")
+    n_components = first["components"].count()
+    assert completed_stages(run_dir) == sorted(
+        ["entities", "blocks", "pairs", "edges", "components"]
+    )
+
+    # resume: pass empty transcripts — all stages must come from checkpoints
+    empty = transcripts.limit(0)
+    second = run_pipeline(spark, empty, run_dir=run_dir, run_id="r2")
+    assert second["components"].count() == n_components
+    assert sorted(r["conv_id"] for r in second["components"].collect()) == sorted(
+        r["conv_id"] for r in first["components"].collect()
+    )
+
+
+def test_audit_written(spark, tmp_path):
+    transcripts, _ = synth_transcripts(spark, n_conversations=30, turns_per_conv=3)
+    run_dir = os.path.join(str(tmp_path), "run2")
+    run_pipeline(spark, transcripts, run_dir=run_dir, run_id="audit-test")
+    part = spark.read.parquet(os.path.join(run_dir, "audit", "partitions"))
+    assert part.filter(F.col("run_id") == "audit-test").count() > 0
+    stages = {r["stage"] for r in part.select("stage").distinct().collect()}
+    assert {"entities", "pairs", "edges", "components"} <= stages
+    blocks = spark.read.parquet(os.path.join(run_dir, "audit", "blocks"))
+    row = blocks.collect()[0]
+    assert row["n_blocks"] > 0 and row["max_block"] >= row["p50_block"]
