@@ -1,0 +1,109 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "pairs_scored": ..., "pairs_per_sec": ...}
+
+Each query is fully materialised via the noop sink (no driver collect).
+For the N-vs-4N scaling-efficiency protocol see scripts/scaling_bench.py,
+which reruns the ER job in fresh JVMs at local[8] and local[32].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline set: the ER flagship + the operators that dominate 100 TB runs
+HEADLINE = [
+    "q_blocking_join",
+    "q_topk_window",
+    "q_audit_metrics",
+    "q_result_assembly",
+    "q_multi_match_veto",
+    "q_connected_components",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash",
+    "q_embed_topk",
+    "q_token_count",
+    "q_quality_score",
+    "q_name_match",
+    "q_er_pipeline",
+]
+
+
+def _materialise(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from osm_wikidata_spark.session import build_session
+
+    spark = build_session(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        _materialise(fn(spark, SF_DIR))
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    # throughput metric: candidate pairs scored per second (ER flagship)
+    from osm_wikidata_spark.plans.pipeline import extract_entities, score_pairs
+    from osm_wikidata_spark.operators.blocking import build_blocks, salted_pair_join
+    from pyspark.sql import functions as F
+
+    transcripts = entrymod._derive_transcripts(spark, SF_DIR, max_convs=2000)
+    entities = extract_entities(transcripts).cache()
+    blocks = build_blocks(entities, "conv_id", "tokens", max_block_size=50)
+    pairs = salted_pair_join(blocks, blocks).filter(
+        F.col("left_id") < F.col("right_id")
+    ).cache()
+    n_pairs = pairs.count()
+    t0 = time.time()
+    _materialise(score_pairs(pairs, entities))
+    score_dt = time.time() - t0
+    pairs_per_sec = round(n_pairs / score_dt, 1) if score_dt > 0 else None
+    timings["er_score_pairs"] = round(score_dt, 3)
+    total += score_dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": CPUS,
+                "pairs_scored": n_pairs,
+                "pairs_per_sec": pairs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -87,6 +88,7 @@ PAIR_SCORE_SCHEMA = StructType(
     [
         StructField("matched", BooleanType()),
         StructField("best_kind", StringType()),
+        StructField("n_keys", IntegerType()),
         StructField("match_json", StringType()),
     ]
 )
@@ -114,7 +116,7 @@ def pair_score_udf(
     """Record-level scoring: full check_for_match over one (record, entity)
     pair (M2).  tags/names arrive JSON-encoded (map-of-map types are cheaper
     as strings across Arrow for sparse dicts)."""
-    matched, best, blob = [], [], []
+    matched, best, nkeys, blob = [], [], [], []
     memo: dict[tuple, tuple] = {}
     for t, n, e, p in zip(tags_json, names_json, endings, places):
         e_key = tuple(e) if e is not None else None
@@ -131,14 +133,22 @@ def pair_score_udf(
             if result:
                 kinds = [entry[0] for hits in result.values() for entry in hits]
                 top = min(kinds, key=lambda k: _KIND_RANK.get(k, 99))
-                res = (True, top, json.dumps(result, ensure_ascii=False, sort_keys=True))
+                res = (
+                    True,
+                    top,
+                    len(result),
+                    json.dumps(result, ensure_ascii=False, sort_keys=True),
+                )
             else:
-                res = (False, None, None)
+                res = (False, None, 0, None)
             memo[key] = res
         matched.append(res[0])
         best.append(res[1])
-        blob.append(res[2])
-    return pd.DataFrame({"matched": matched, "best_kind": best, "match_json": blob})
+        nkeys.append(res[2])
+        blob.append(res[3])
+    return pd.DataFrame(
+        {"matched": matched, "best_kind": best, "n_keys": nkeys, "match_json": blob}
+    )
 
 
 @F.pandas_udf(BooleanType())

@@ -167,28 +167,26 @@ def simhash64(shingles_col: F.Column) -> F.Column:
     the sign of the sum is the output bit.  Uses conv(hex→bigint) + bit ops
     inside higher-order functions — no Python.
     """
-    # first 16 hex chars → unsigned-ish 64-bit value per shingle
+    # first 15 hex chars → 60-bit value per shingle (shift amounts must be
+    # literals for shiftright, so the 60 bit positions are unrolled here)
     hashes = F.transform(
         shingles_col, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(59)),
-        lambda bit: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(59)),
-            lambda vote, bit: F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), bit.cast("int"))).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    def _vote_fn(bit: int):
+        def _merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return _merge
+
+    sim = F.lit(0).cast("long")
+    for bit in range(60):
+        vote = F.aggregate(hashes, F.lit(0), _vote_fn(bit))
+        sim = sim + F.when(vote > 0, F.lit(1 << bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sim
 
 
 def simhash_near_dups(

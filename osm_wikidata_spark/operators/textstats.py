@@ -15,7 +15,7 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
     "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"],
     "es": ["el", "la", "los", "las", "es", "una", "en", "que", "por", "con"],
-]
+}
 
 
 def token_count(text_col: str = "text") -> F.Column:

@@ -1,0 +1,119 @@
+"""Incremental ingest of new transcript partitions (SURVEY.md §2.12).
+
+The reference is batch-only; its "streaming" surface is a progress
+side-channel (Postgres NOTIFY → websocket, job_queue.py:187-234).  The
+engine's incremental obligation is instead: when new transcript files land,
+re-block ONLY the new conversations and score them against the existing
+block index — a foreachBatch join, not a full recompute.
+
+Structured Streaming shape::
+
+    readStream(transcripts) → foreachBatch(increment) → append edges
+
+Each micro-batch:
+1. builds entities/blocks for the batch's conversations,
+2. joins batch blocks against the persisted block index (old ∪ new),
+3. scores only the new candidate pairs,
+4. appends new blocks + edges to the persisted state tables.
+
+Checkpointing is Spark's own streaming checkpoint (exactly-once per batch
+given deterministic transforms).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.blocking import build_blocks, salted_pair_join
+from ..plans.pipeline import extract_entities, score_pairs
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def incremental_edges_batch(
+    spark: SparkSession,
+    batch_transcripts: DataFrame,
+    state_dir: str,
+    max_block_size: int | None = 1000,
+    salt: int = 8,
+) -> DataFrame:
+    """Process one micro-batch: return new edges, update persisted state.
+
+    State layout: ``<state_dir>/blocks`` (block index so far) and
+    ``<state_dir>/entities`` (names per conversation so far).
+    """
+    blocks_path = os.path.join(state_dir, "blocks")
+    entities_path = os.path.join(state_dir, "entities")
+
+    new_entities = extract_entities(batch_transcripts)
+    new_blocks = build_blocks(new_entities, "conv_id", "tokens", max_block_size)
+
+    have_state = os.path.exists(os.path.join(blocks_path, "_SUCCESS"))
+    if have_state:
+        old_blocks = spark.read.parquet(blocks_path)
+        old_entities = spark.read.parquet(entities_path)
+        all_blocks = old_blocks.unionByName(new_blocks)
+        all_entities = old_entities.unionByName(new_entities)
+    else:
+        all_blocks = new_blocks
+        all_entities = new_entities
+
+    # candidate pairs touching at least one NEW conversation
+    pairs = salted_pair_join(new_blocks, all_blocks, salt=salt).filter(
+        F.col("left_id") != F.col("right_id")
+    )
+    pairs = pairs.select(
+        F.least("left_id", "right_id").alias("left_id"),
+        F.greatest("left_id", "right_id").alias("right_id"),
+        "block_key",
+    ).dropDuplicates(["left_id", "right_id"])
+
+    # materialise edges BEFORE the state swap: the lazy plan references the
+    # old state files, which the swap deletes
+    edges = score_pairs(pairs, all_entities).localCheckpoint(eager=True)
+
+    # persist updated state (idempotent per batch id when used in foreachBatch)
+    all_blocks.write.mode("overwrite").parquet(blocks_path + "_next")
+    all_entities.write.mode("overwrite").parquet(entities_path + "_next")
+    _swap(blocks_path), _swap(entities_path)
+    return edges
+
+
+def _swap(path: str) -> None:
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(path + "_next", path)
+
+
+def stream_transcripts(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    edges_dir: str,
+):
+    """Wire the incremental batch into a Structured Streaming query."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _for_each(batch_df: DataFrame, batch_id: int) -> None:
+        edges = incremental_edges_batch(spark, batch_df, state_dir)
+        edges.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            edges_dir
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_for_each)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,130 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark at sf0.01 and its ``oracle_sql()``
+in DuckDB over the same parquet tables, then compares row count, column
+names, and an order-insensitive value fingerprint (columns sorted by name,
+values canonicalised, rows sorted).  Usage::
+
+    python scripts/check_oracles.py            # all queries
+    python scripts/check_oracles.py q_counts   # subset
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _canon(v) -> str:
+    import datetime
+    from decimal import Decimal
+
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, Decimal):
+        return f"{float(v):.9g}"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _fingerprint(cols: list[str], rows: list[tuple]) -> tuple:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted(
+        "|".join(_canon(row[i]) for i in order) for row in rows
+    )
+    import hashlib
+
+    h = hashlib.sha256("\n".join(canon_rows).encode()).hexdigest()[:16]
+    return len(rows), h
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from osm_wikidata_spark.session import build_session
+
+    only = set(sys.argv[1:])
+    spark = build_session("oracle-check", master="local[8]", shuffle_partitions=16)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_cols = [c.lower() for c in sdf.columns]
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(s_rows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = [c.lower() for c in rel.columns]
+            d_rows = rel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {s_cols} vs {d_cols}")
+            continue
+        sn, sh = _fingerprint(s_cols, s_rows)
+        dn, dh = _fingerprint(d_cols, d_rows)
+        status = "ok   " if (sn, sh) == (dn, dh) else "FAIL "
+        if status.startswith("FAIL"):
+            failures.append(name)
+        print(f"{status} {name}: spark {sn} rows [{sh}] vs duckdb {dn} rows [{dh}] ({time.time()-t0:.1f}s)")
+        if status.startswith("FAIL") and sn and dn:
+            order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            s_set = {"|".join(_canon(r[i]) for i in order) for r in s_rows}
+            d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+            d_set = {"|".join(_canon(r[i]) for i in d_order) for r in d_rows}
+            for x in list(s_set - d_set)[:3]:
+                print(f"        spark-only: {x}")
+            for x in list(d_set - s_set)[:3]:
+                print(f"        duckdb-only: {x}")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

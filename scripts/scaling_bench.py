@@ -1,0 +1,104 @@
+"""N-vs-4N scaling-efficiency protocol (BASELINE.json north_rule).
+
+A real multi-executor cluster is unavailable in this sandbox, so scaling is
+evidenced by running THE SAME JOB on THE SAME INPUT at two parallelism
+levels — local[8] and local[32] — in fresh JVMs (subprocesses, so each run
+gets clean executors and no shared JIT/page-cache warmup within the JVM).
+
+Reports throughput at both levels and::
+
+    efficiency = (T_8 / T_32) / (32 / 8)
+
+(how much of the ideal 4x speedup is realised).  Target ≥ 0.8.
+
+Usage: python scripts/scaling_bench.py [--convs 4000] [--out BENCH.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from osm_wikidata_spark.session import build_session
+from osm_wikidata_spark.plans.pipeline import extract_entities, score_pairs
+from osm_wikidata_spark.operators.blocking import build_blocks, salted_pair_join
+import __spark_entry__ as entrymod
+
+cpus = {cpus}
+spark = build_session("scaling", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus * 2, 16))
+spark.sparkContext.setLogLevel("ERROR")
+
+transcripts = entrymod._derive_transcripts(spark, {sf_dir!r}, max_convs={convs})
+entities = extract_entities(transcripts).cache()
+entities.count()
+blocks = build_blocks(entities, "conv_id", "tokens", max_block_size=50)
+pairs = salted_pair_join(blocks, blocks).filter(F.col("left_id") < F.col("right_id")).cache()
+n_pairs = pairs.count()
+
+# timed section: the pairwise scoring stage (the engine's hot loop)
+t0 = time.time()
+score_pairs(pairs, entities).write.mode("overwrite").format("noop").save()
+dt = time.time() - t0
+print("RESULT " + json.dumps({{"cpus": cpus, "pairs": n_pairs, "seconds": round(dt, 3),
+                               "pairs_per_sec": round(n_pairs / dt, 1)}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, sf_dir: str, convs: int) -> dict:
+    code = _WORKER.format(repo=REPO, cpus=cpus, sf_dir=sf_dir, convs=convs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=4000)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    low = run_level(8, args.sf_dir, args.convs)
+    high = run_level(32, args.sf_dir, args.convs)
+    speedup = low["seconds"] / high["seconds"]
+    efficiency = speedup / (32 / 8)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "fraction_of_ideal_4x",
+        "low": low,
+        "high": high,
+        "speedup": round(speedup, 3),
+        "sf_dir": args.sf_dir,
+        "convs": args.convs,
+    }
+    print(json.dumps(result))
+
+    if args.out:
+        with open(args.out, "a") as fh:
+            fh.write(
+                f"\n## Scaling run (pairs-scored/sec, same input, fresh JVMs)\n\n"
+                f"| parallelism | pairs | seconds | pairs/sec |\n|---|---|---|---|\n"
+                f"| local[8] | {low['pairs']} | {low['seconds']} | {low['pairs_per_sec']} |\n"
+                f"| local[32] | {high['pairs']} | {high['seconds']} | {high['pairs_per_sec']} |\n\n"
+                f"speedup 8→32: **{speedup:.2f}x** of ideal 4x → efficiency "
+                f"**{efficiency:.2f}** (target ≥ 0.8)\n"
+            )
+
+
+if __name__ == "__main__":
+    main()
