@@ -590,6 +590,184 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         transcripts = _derive_transcripts(spark, sf, max_convs=300)
         return run_pipeline(spark, transcripts, max_block_size=50, salt=4)["components"]
 
+    def q_scan_records(spark, sf):
+        # S4: record scan with tag/name predicates pushed to the source
+        return (
+            _t(spark, sf, "documents")
+            .filter((F.col("source") == "web") & (F.col("n_chars") >= 200))
+            .select("doc_id", "lang", "n_chars")
+        )
+
+    def q_addr_node(spark, sf):
+        # F10: address-only node filter as a forall over map keys
+        # (matcher.py:561-571); records constructed from events
+        tags = F.when(
+            F.col("user_id") % 3 == 0,
+            F.create_map(
+                F.lit("addr:housenumber"), F.col("user_id").cast("string"),
+                F.lit("source"), F.lit("import"),
+            ),
+        ).otherwise(
+            F.create_map(
+                F.lit("addr:housenumber"), F.col("user_id").cast("string"),
+                F.lit("name"), F.lit("Somewhere"),
+            )
+        )
+        rec_type = F.when(F.col("event_type") == "click", "node").otherwise("way")
+        records = _t(spark, sf, "events").select("event_id", rec_type.alias("rec_type"), tags.alias("tags"))
+        is_addr = (F.col("rec_type") == "node") & ~F.array_contains(
+            F.map_keys("tags"), "addr:housename"
+        ) & F.forall(
+            F.map_keys("tags"),
+            lambda k: k.startswith("addr:")
+            | k.startswith("source:")
+            | k.isin("entrance", "source"),
+        )
+        return records.filter(is_addr).select("event_id")
+
+    def q_matching_tags(spark, sf):
+        # M7: expected-tag intersection with ;-multivalue and k=v preference
+        # (matcher.py:348-357, 129-138) as higher-order column ops
+        tags = F.create_map(
+            F.lit("type"), F.col("p_type"), F.lit("brand"), F.col("p_brand")
+        )
+        expected = F.array(F.lit("type=ECONOMY"), F.lit("type"), F.lit("brand"))
+        hits = F.filter(
+            expected,
+            lambda t: F.when(
+                t.contains("="),
+                F.coalesce(
+                    F.array_contains(
+                        F.split(F.element_at(tags, F.split(t, "=")[0]), ";"),
+                        F.split(t, "=")[1],
+                    ),
+                    F.lit(False),
+                ),
+            ).otherwise(F.array_contains(F.map_keys(tags), t)),
+        )
+        preferred = F.filter(
+            hits,
+            lambda t: t.contains("=")
+            | ~F.exists(hits, lambda o: o.startswith(F.concat(t, F.lit("=")))),
+        )
+        return _t(spark, sf, "part").select(
+            "p_partkey", F.array_join(F.array_sort(preferred), ",").alias("tags")
+        )
+
+    def q_pair_vetoes(spark, sf):
+        # V1-V6: incompatible-attribute veto stage (matcher.py:475-558) as
+        # one compiled predicate; pairs constructed from orders
+        from osm_wikidata_spark.operators.vetoes import apply_vetoes_expr
+
+        left_attrs = F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.array(F.lit("amenity=post_office")),
+        ).otherwise(F.array(F.lit("railway=station")))
+        right_attrs = (
+            F.when(F.col("o_orderstatus") == "O", F.array(F.lit("amenity=place_of_worship")))
+            .when(F.col("o_orderstatus") == "F", F.array(F.lit("amenity=cafe")))
+            .otherwise(F.array(F.lit("amenity=cafe"), F.lit("railway=station")))
+        )
+        pairs = _t(spark, sf, "orders").select(
+            "o_orderkey",
+            left_attrs.alias("left_attrs"),
+            right_attrs.alias("right_attrs"),
+        )
+        rules = [
+            ("amenity=post_office", "amenity=place_of_worship"),
+            ("railway=station", "amenity=cafe"),
+        ]
+        return apply_vetoes_expr(pairs, rules).select("o_orderkey")
+
+    def q_identifier_match(spark, sf):
+        # M4: identifier equi-match incl. space/url/int normalisation
+        import json
+
+        from osm_wikidata_spark.functions.udfs import identifier_match_udf
+
+        cases = [
+            ("iata-hit", {"iata": "PDX"}, {"iata": [(["PDX"], "IATA airport code")]}),
+            ("iata-miss", {"iata": "LAX"}, {"iata": [(["PDX"], "IATA airport code")]}),
+            ("no-tags", {}, {"iata": [(["PDX"], "IATA airport code")]}),
+            ("space-strip", {"seamark:light:reference": "D 123"},
+             {"seamark:light:reference": [(["D123"], "Admiralty number")]}),
+            ("url-scheme", {"website": "https://www.test.org"},
+             {"website": [(["http://test.org"], "website")]}),
+            ("int-normalise", {"ref": "007"}, {"ref": [(["7"], "reference")]}),
+        ]
+        df = spark.createDataFrame(
+            [(cid, json.dumps(t), json.dumps(i)) for cid, t, i in cases],
+            "case_id string, tags_json string, ids_json string",
+        )
+        return df.select(
+            "case_id", identifier_match_udf("tags_json", "ids_json").alias("matched")
+        )
+
+    def q_addr_extract(spark, sf):
+        # M6: address-in-extract with range-start veto
+        import json
+
+        from osm_wikidata_spark.functions.udfs import address_in_extract_udf
+        from tests.fixtures import EXTRACT_CASES
+
+        df = spark.createDataFrame(
+            [(i, json.dumps(tags), extract) for i, (tags, extract, _e) in enumerate(EXTRACT_CASES)],
+            "case_id int, tags_json string, extract string",
+        )
+        return df.select(
+            "case_id", address_in_extract_udf("tags_json", "extract").alias("matched")
+        )
+
+    def q_names_from_entity(spark, sf):
+        # F2: entity-document name assembly with provenance
+        from osm_wikidata_spark.functions.udfs import names_from_entity_udf
+
+        entity = F.to_json(
+            F.struct(
+                F.create_map(
+                    F.lit("en"), F.struct(F.col("c_name").alias("value")),
+                    F.lit("de"), F.struct(F.col("c_name").alias("value")),
+                ).alias("labels"),
+                F.create_map(
+                    F.lit("enwiki"), F.struct(F.col("c_name").alias("title")),
+                ).alias("sitelinks"),
+                F.when(
+                    F.col("c_custkey") % 2 == 0,
+                    F.create_map(
+                        F.lit("en"),
+                        F.array(F.struct(F.col("c_mktsegment").alias("value"))),
+                    ),
+                ).alias("aliases"),
+            )
+        )
+        return (
+            _t(spark, sf, "customer")
+            .select("c_custkey", F.explode(names_from_entity_udf(entity)).alias("e"))
+            .select("c_custkey", F.col("e.name").alias("name"), F.col("e.sources").alias("sources"))
+        )
+
+    def q_filter_distant(spark, sf):
+        # G1: lone-near-candidate selection (matcher.py:1567-1582)
+        from osm_wikidata_spark.operators.resolve import filter_distant
+
+        edges = _t(spark, sf, "orders").select(
+            F.col("o_custkey").alias("left_id"),
+            F.col("o_orderkey").alias("right_id"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("score"),
+        )
+        return filter_distant(edges, "left_id", "score", near=400000.0, far=100000.0)
+
+    def q_prefer_unique(spark, sf):
+        # G2/G3/G5 pattern: keep the unique preferred candidate
+        from osm_wikidata_spark.operators.resolve import prefer_unique
+
+        edges = _t(spark, sf, "orders").select(
+            F.col("o_custkey").alias("left_id"),
+            F.col("o_orderkey").alias("right_id"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        return prefer_unique(edges, "left_id", F.col("priority") == "1-URGENT")
+
     def q_multimodal_features(spark, sf):
         from osm_wikidata_spark.operators.multimodal import extract_features, synth_media
 
@@ -638,6 +816,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transcripts_invariant": q_transcripts_invariant,
         "q_er_pipeline": q_er_pipeline,
         "q_multimodal_features": q_multimodal_features,
+        "q_scan_records": q_scan_records,
+        "q_addr_node": q_addr_node,
+        "q_matching_tags": q_matching_tags,
+        "q_pair_vetoes": q_pair_vetoes,
+        "q_identifier_match": q_identifier_match,
+        "q_addr_extract": q_addr_extract,
+        "q_names_from_entity": q_names_from_entity,
+        "q_filter_distant": q_filter_distant,
+        "q_prefer_unique": q_prefer_unique,
     }
 
 
@@ -647,7 +834,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
     import json
 
-    from tests.fixtures import ADDRESS_CASES, CHECK_CASES, PAIR_CASES
+    from tests.fixtures import ADDRESS_CASES, CHECK_CASES, EXTRACT_CASES, PAIR_CASES
 
     name_match_expected = [
         (i, e is not None) for i, (_o, _w, _en, _p, e) in enumerate(PAIR_CASES)
@@ -959,6 +1146,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS INTEGER) AS turn_idx,
                    o_orderpriority || '|' || o_orderstatus AS text
             FROM orders
+        """,
+        "q_scan_records": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE source = 'web' AND n_chars >= 200
+        """,
+        "q_addr_node": """
+            SELECT event_id FROM events
+            WHERE event_type = 'click' AND user_id % 3 = 0
+        """,
+        "q_matching_tags": """
+            SELECT p_partkey,
+                   CASE WHEN p_type = 'ECONOMY' THEN 'brand,type=ECONOMY'
+                        ELSE 'brand,type' END AS tags
+            FROM part
+        """,
+        "q_pair_vetoes": """
+            SELECT o_orderkey FROM orders
+            WHERE NOT ((o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+                    OR (o_orderpriority <> '1-URGENT' AND o_orderstatus = 'F'))
+        """,
+        "q_identifier_match": _sql_values(
+            [
+                ("iata-hit", True), ("iata-miss", False), ("no-tags", False),
+                ("space-strip", True), ("url-scheme", True), ("int-normalise", True),
+            ],
+            "case_id, matched",
+        ),
+        "q_addr_extract": _sql_values(
+            [(i, expect) for i, (_t2, _e2, expect) in enumerate(EXTRACT_CASES)],
+            "case_id, matched",
+        ),
+        "q_names_from_entity": """
+            SELECT c_custkey, c_name AS name,
+                   'label:en|label:de|sitelink:enwiki' AS sources
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, 'alias:en'
+            FROM customer WHERE c_custkey % 2 = 0
+        """,
+        "q_filter_distant": """
+            WITH edges AS (
+              SELECT o_custkey AS left_id, o_orderkey AS right_id,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS score
+              FROM orders
+            ),
+            w AS (SELECT *, max(score) OVER (PARTITION BY left_id) AS mx FROM edges),
+            w2 AS (
+              SELECT *,
+                     sum(CASE WHEN score < mx AND score > 100000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY left_id) AS n_far
+              FROM w
+            )
+            SELECT left_id, right_id, score FROM w2
+            WHERE NOT (mx >= 400000 AND n_far = 0) OR score = mx
+        """,
+        "q_prefer_unique": """
+            WITH e AS (
+              SELECT o_custkey AS left_id, o_orderkey AS right_id,
+                     o_orderpriority AS priority
+              FROM orders
+            ),
+            w AS (
+              SELECT *,
+                     sum(CASE WHEN priority = '1-URGENT' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY left_id) AS np
+              FROM e
+            )
+            SELECT left_id, right_id, priority FROM w
+            WHERE np <> 1 OR priority = '1-URGENT'
         """,
         # rows-only (non-SQL-expressible): q_dedup_minhash, q_dedup_simhash,
         # q_embed_lsh_topk, q_er_pipeline, q_multimodal_features

@@ -68,14 +68,19 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
-    # throughput metric: candidate pairs scored per second (ER flagship)
+    # throughput metric: candidate pairs scored per second.  Synthetic
+    # transcripts at volume (fixture variant groups) so blocks carry real
+    # collision density — the derive-from-orders path spreads conversations
+    # over too many customers to exercise the scoring join.
     from osm_wikidata_spark.plans.pipeline import extract_entities, score_pairs
     from osm_wikidata_spark.operators.blocking import build_blocks, salted_pair_join
+    from osm_wikidata_spark.sources.transcripts import synth_transcripts
     from pyspark.sql import functions as F
 
-    transcripts = entrymod._derive_transcripts(spark, SF_DIR, max_convs=2000)
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "4000"))
+    transcripts, _truth = synth_transcripts(spark, n_conversations=n_convs, turns_per_conv=4)
     entities = extract_entities(transcripts).cache()
-    blocks = build_blocks(entities, "conv_id", "tokens", max_block_size=50)
+    blocks = build_blocks(entities, "conv_id", "tokens", max_block_size=None)
     pairs = salted_pair_join(blocks, blocks).filter(
         F.col("left_id") < F.col("right_id")
     ).cache()

@@ -209,3 +209,49 @@ def block_tokens_udf(names: pd.Series) -> pd.Series:
         return sorted(set(tokens))
 
     return _memoised(names.fillna(""), _tokens)
+
+
+NAMES_ENTRY_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("name", StringType()),
+            StructField("sources", StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(NAMES_ENTRY_SCHEMA)
+def names_from_entity_udf(entity_json: pd.Series) -> pd.Series:
+    """F2 as a vectorised stage: entity JSON document -> [(name, sources)]
+    where sources is 'source:lang|source:lang|...' (lang empty when None).
+    Semantics: kernel.names.names_from_entity (wikidata.py:933-1015)."""
+    from ..kernel.names import names_from_entity
+
+    def _one(blob: str):
+        entity = json.loads(blob) if blob else None
+        names = names_from_entity(entity) if entity else None
+        if not names:
+            return []
+        return [
+            {
+                "name": name,
+                "sources": "|".join(
+                    f"{src}:{lang if lang is not None else ''}" for src, lang in hits
+                ),
+            }
+            for name, hits in names.items()
+        ]
+
+    return _memoised(entity_json, _one)
+
+
+@F.pandas_udf(BooleanType())
+def address_in_extract_udf(tags_json: pd.Series, extract: pd.Series) -> pd.Series:
+    """M6 as a vectorised stage."""
+    from ..kernel.records import address_in_extract
+
+    out = []
+    for t, e in zip(tags_json, extract):
+        out.append(address_in_extract(json.loads(t) if t else {}, e or ""))
+    return pd.Series(out)

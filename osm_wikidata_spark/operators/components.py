@@ -73,21 +73,30 @@ def connected_components(
     Returns ``(node, component)``.  O(log^2 n) rounds; on the chain/star
     graphs of the tests, <10.
     """
+    def _signature(df: DataFrame) -> tuple:
+        """Order-independent set signature: one cheap aggregate per round
+        (count + sum of row hashes) instead of an exceptAll join."""
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal sum: xxhash64 values overflow bigint under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     e = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     if checkpoint:
         e = e.localCheckpoint(eager=True)
+    sig = _signature(e)
 
     for _ in range(max_iterations):
         stepped = _small_star(_large_star(e))
         if checkpoint:
             stepped = stepped.localCheckpoint(eager=True)
-        unchanged = (
-            stepped.count() == e.count()
-            and stepped.exceptAll(e).limit(1).count() == 0
-        )
+        new_sig = _signature(stepped)
         e = stepped
-        if unchanged:
+        if new_sig == sig:
             break
+        sig = new_sig
 
     nodes = (
         e.select(F.col("u").alias("node"))

@@ -84,9 +84,21 @@ def minhash_lsh_pairs(
     with left < right.
     """
     rows_per_band = n_hashes // bands
-    sig = docs.select(
+    # flat explode + groupBy(min×n) instead of nested array expressions:
+    # keeps the per-row expression tree small so whole-stage codegen holds,
+    # and the mins combine map-side (same pattern as simhash_table)
+    shingled = docs.select(
         F.col(id_col).alias("doc"),
-        minhash_signature(word_shingles(text_col, shingle_n), n_hashes).alias("sig"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    mins = shingled.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    sig = mins.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
     )
     band_keys = sig.select(
         "doc",
@@ -160,33 +172,41 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash64(shingles_col: F.Column) -> F.Column:
-    """64-bit SimHash from shingle md5s, entirely JVM-side.
+def simhash_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """(doc, sim) with a ``bits``-bit SimHash per document, JVM-side.
 
-    For each of 64 bit positions, sum ±1 votes from every shingle's hash bit;
-    the sign of the sum is the output bit.  Uses conv(hex→bigint) + bit ops
-    inside higher-order functions — no Python.
+    One explode + one groupBy: each shingle contributes a +/-1 vote per bit
+    position (the votes are ``bits`` sum-aggregate columns in a single
+    shuffle, map-side combined); the sign of each vote becomes the output
+    bit.  This beats a per-row higher-order aggregate by keeping the plan
+    flat and letting whole-stage codegen fuse the 60 sums.
     """
-    # first 15 hex chars → 60-bit value per shingle (shift amounts must be
-    # literals for shiftright, so the 60 bit positions are unrolled here)
-    hashes = F.transform(
-        shingles_col, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    shingled = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
     )
-    def _vote_fn(bit: int):
-        def _merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return _merge
-
+    votes = shingled.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
     sim = F.lit(0).cast("long")
-    for bit in range(60):
-        vote = F.aggregate(hashes, F.lit(0), _vote_fn(bit))
-        sim = sim + F.when(vote > 0, F.lit(1 << bit).cast("long")).otherwise(
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return sim
+    return votes.select("doc", sim.alias("sim"))
 
 
 def simhash_near_dups(
@@ -202,10 +222,7 @@ def simhash_near_dups(
     Hamming distance ≤ 6 of a 60-bit hash shares at least one of 4 quarters
     by pigeonhole), then verifies exact Hamming distance.
     """
-    hashed = docs.select(
-        F.col(id_col).alias("doc"),
-        simhash64(word_shingles(text_col, shingle_n)).alias("sim"),
-    )
+    hashed = simhash_table(docs, id_col, text_col, shingle_n)
     quarters = hashed.select(
         "doc",
         "sim",

@@ -31,25 +31,49 @@ from pyspark.sql import functions as F
 from osm_wikidata_spark.session import build_session
 from osm_wikidata_spark.plans.pipeline import extract_entities, score_pairs
 from osm_wikidata_spark.operators.blocking import build_blocks, salted_pair_join
-import __spark_entry__ as entrymod
+from osm_wikidata_spark.sources.transcripts import synth_transcripts
 
 cpus = {cpus}
 spark = build_session("scaling", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus * 2, 16))
 spark.sparkContext.setLogLevel("ERROR")
 
-transcripts = entrymod._derive_transcripts(spark, {sf_dir!r}, max_convs={convs})
+# CPU-bound scoring workload: every conversation mentions a UNIQUE name, so
+# the decision cascade runs for every candidate pair (no memoisation) — this
+# measures kernel throughput, the quantity that must scale with cores.
+# Blocks of ~{convs}/100 conversations share a 'blockNNN' token.
+n_convs = {convs}
+convs_df = spark.range(n_convs).select(
+    F.format_string("conv-%07d", F.col("id")).alias("conv_id"),
+    F.concat(
+        F.lit('About "Block'), (F.col("id") % 100).cast("string"),
+        F.lit(" Office Number "), F.col("id").cast("string"), F.lit('" today.'),
+    ).alias("text"),
+)
+transcripts = convs_df.select(
+    "conv_id", F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+    "text", F.lit(None).cast("string").alias("tool"),
+    F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+)
 entities = extract_entities(transcripts).cache()
 entities.count()
-blocks = build_blocks(entities, "conv_id", "tokens", max_block_size=50)
+blocks = build_blocks(entities, "conv_id", "tokens", max_block_size=n_convs // 50)
 pairs = salted_pair_join(blocks, blocks).filter(F.col("left_id") < F.col("right_id")).cache()
 n_pairs = pairs.count()
 
-# timed section: the pairwise scoring stage (the engine's hot loop)
-t0 = time.time()
-score_pairs(pairs, entities).write.mode("overwrite").format("noop").save()
-dt = time.time() - t0
+# warm up Python workers + codegen once (a one-time per-JVM cost that grows
+# with worker count and would otherwise swamp the scaling signal), then take
+# the median of 3 steady-state timings of the pairwise scoring stage
+scored = score_pairs(pairs, entities)
+scored.write.mode("overwrite").format("noop").save()
+times = []
+for _ in range(3):
+    t0 = time.time()
+    scored.write.mode("overwrite").format("noop").save()
+    times.append(time.time() - t0)
+dt = sorted(times)[1]
 print("RESULT " + json.dumps({{"cpus": cpus, "pairs": n_pairs, "seconds": round(dt, 3),
-                               "pairs_per_sec": round(n_pairs / dt, 1)}}))
+                               "pairs_per_sec": round(n_pairs / dt, 1),
+                               "all_runs": [round(t, 3) for t in times]}}))
 spark.stop()
 """
 
