@@ -62,12 +62,18 @@ def score_pairs(
     pairs: DataFrame,
     entities: DataFrame,
     endings: list[str] | None = None,
+    dedup_names: bool = True,
 ) -> DataFrame:
     """Name cross-product scoring of candidate pairs via the kernel UDF.
 
-    Exact-name pairs are deduplicated *before* the UDF (the batch-level
-    equivalent of the reference's memo cache, match.py:1029-1048), scored
-    once, and joined back.
+    With ``dedup_names`` (default), exact-name pairs are deduplicated
+    *before* the UDF (the set-level equivalent of the reference's memo
+    cache, match.py:1029-1048), scored once, and joined back — the right
+    plan for Zipfian name data where a few names dominate.  With
+    ``dedup_names=False`` the UDF runs directly on the exploded pairs (one
+    less shuffle and no join-back) — the right plan when names are mostly
+    unique, where the dedup would be pure overhead; the in-batch memo still
+    catches local repeats.
     """
     endings_col = (
         F.array(*[F.lit(e) for e in (endings or GLOBAL_ENDINGS)])
@@ -93,30 +99,34 @@ def score_pairs(
     # the cascade is asymmetric (record-side-only retries like drop_initials,
     # match.py:688-693) and transcripts have no record/entity sides, so score
     # both directions and accept either
-    distinct_name_pairs = exploded.select("left_name", "right_name").distinct()
     no_places = F.lit(None).cast("array<string>")
     fwd = name_decision_udf("left_name", "right_name", endings_col, no_places)
     rev = name_decision_udf("right_name", "left_name", endings_col, no_places)
-    scored_names = (
-        distinct_name_pairs.withColumn("fwd", fwd)
-        .withColumn("rev", rev)
-        .select(
-            "left_name",
-            "right_name",
-            F.struct(
-                (F.col("fwd.matched") | F.col("rev.matched")).alias("matched"),
-                F.coalesce(
-                    F.when(F.col("fwd.matched"), F.col("fwd.kind")),
-                    F.col("rev.kind"),
-                ).alias("kind"),
-                F.coalesce(
-                    F.when(F.col("fwd.matched"), F.col("fwd.rule")),
-                    F.col("rev.rule"),
-                ).alias("rule"),
-            ).alias("decision"),
-        )
+    decision = F.struct(
+        (F.col("fwd.matched") | F.col("rev.matched")).alias("matched"),
+        F.coalesce(
+            F.when(F.col("fwd.matched"), F.col("fwd.kind")), F.col("rev.kind")
+        ).alias("kind"),
+        F.coalesce(
+            F.when(F.col("fwd.matched"), F.col("fwd.rule")), F.col("rev.rule")
+        ).alias("rule"),
     )
-    scored = exploded.join(scored_names, ["left_name", "right_name"])
+
+    if dedup_names:
+        scored_names = (
+            exploded.select("left_name", "right_name")
+            .distinct()
+            .withColumn("fwd", fwd)
+            .withColumn("rev", rev)
+            .select("left_name", "right_name", decision.alias("decision"))
+        )
+        scored = exploded.join(scored_names, ["left_name", "right_name"])
+    else:
+        scored = (
+            exploded.withColumn("fwd", fwd)
+            .withColumn("rev", rev)
+            .withColumn("decision", decision)
+        )
     return (
         scored.groupBy("left_id", "right_id")
         .agg(

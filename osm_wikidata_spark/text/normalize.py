@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import re
 from collections.abc import Iterator
+from functools import lru_cache
 
 from .numwords import cardinal, ordinal
 from .translit import transliterate
@@ -67,8 +68,14 @@ _TIDY_REPLACEMENTS: tuple[tuple[str, str], ...] = (
 )
 
 
+@lru_cache(maxsize=1 << 16)
 def tidy_name(name: str) -> str:
-    """Normalise a lowercase name (N1; match.py:103-177 semantics)."""
+    """Normalise a lowercase name (N1; match.py:103-177 semantics).
+
+    Pure, so cached: inside a candidate block every name is tidied once per
+    neighbour — the cache collapses that to once per distinct name per
+    executor (the reference pays this cost per pair, match.py:466-467).
+    """
     n = transliterate(name).strip().rstrip("'")
     for old, new in _TIDY_REPLACEMENTS:
         n = n.replace(old, new)

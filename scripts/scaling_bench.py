@@ -63,7 +63,7 @@ n_pairs = pairs.count()
 # warm up Python workers + codegen once (a one-time per-JVM cost that grows
 # with worker count and would otherwise swamp the scaling signal), then take
 # the median of 3 steady-state timings of the pairwise scoring stage
-scored = score_pairs(pairs, entities)
+scored = score_pairs(pairs, entities, dedup_names=False)
 scored.write.mode("overwrite").format("noop").save()
 times = []
 for _ in range(3):
@@ -91,7 +91,7 @@ def run_level(cpus: int, sf_dir: str, convs: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--convs", type=int, default=4000)
+    ap.add_argument("--convs", type=int, default=40000)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
