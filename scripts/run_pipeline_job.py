@@ -1,0 +1,51 @@
+"""spark-submit entrypoint: run the ER pipeline over a transcripts table.
+
+    spark-submit --py-files osm_wikidata_spark.zip scripts/run_pipeline_job.py \
+        --input /path/to/transcripts_parquet --run-dir /path/to/run1
+
+Resumable: re-submitting with the same --run-dir skips completed stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=False, help="transcripts parquet path")
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--max-block-size", type=int, default=1000)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--synth-convs", type=int, default=0,
+                    help="generate N synthetic conversations instead of --input")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.getOrCreate()
+    from osm_wikidata_spark.plans.pipeline import run_pipeline
+    from osm_wikidata_spark.sources.transcripts import synth_transcripts
+
+    if args.synth_convs:
+        transcripts, _ = synth_transcripts(spark, n_conversations=args.synth_convs)
+    else:
+        if not args.input:
+            raise SystemExit("--input or --synth-convs required")
+        transcripts = spark.read.parquet(args.input)
+
+    out = run_pipeline(
+        spark,
+        transcripts,
+        run_dir=args.run_dir,
+        run_id=args.run_id,
+        max_block_size=args.max_block_size,
+        salt=args.salt,
+    )
+    n = out["components"].count()
+    print(f"components rows: {n}; stages under {args.run_dir}")
+
+
+if __name__ == "__main__":
+    main()
