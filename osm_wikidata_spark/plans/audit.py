@@ -44,6 +44,22 @@ def block_skew_metrics(blocks: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def score_distribution(edges: DataFrame, run_id: str) -> DataFrame:
+    """Decision-kind histogram over scored edges (A8 score_hist analog):
+    how many pairs matched per cascade kind, plus the miss count."""
+    return (
+        edges.groupBy(F.coalesce("kind", F.lit("no_match")).alias("kind"))
+        .agg(F.count("*").alias("pairs"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit("edges").alias("stage"),
+            "kind",
+            "pairs",
+            F.current_timestamp().alias("ts"),
+        )
+    )
+
+
 def append_audit(df: DataFrame, run_dir: str | None, table: str) -> None:
     """Append metric rows under <run_dir>/audit/<table> (no-op without run_dir)."""
     if run_dir is None:

@@ -34,11 +34,12 @@ def stage(
 ) -> DataFrame:
     """Materialise one pipeline stage, or reuse a prior run's output.
 
-    With ``run_dir=None`` checkpointing is off and the plan stays lazy
-    (tests / small runs).
+    With ``run_dir=None`` checkpointing is off; the stage output is cached
+    in memory instead so downstream stages don't recompute it (tests /
+    small runs).
     """
     if run_dir is None:
-        return build()
+        return build().cache()
     path = os.path.join(run_dir, name)
     if not _done(path):
         writer = build().write.mode("overwrite")

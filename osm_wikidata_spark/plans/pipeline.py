@@ -31,7 +31,7 @@ from ..functions.udfs import block_tokens_udf, name_decision_udf
 from ..operators.blocking import build_blocks, salted_pair_join
 from ..operators.components import connected_components
 from ..sources.transcripts import GLOBAL_ENDINGS
-from .audit import append_audit, block_skew_metrics, partition_metrics
+from .audit import append_audit, block_skew_metrics, partition_metrics, score_distribution
 from .checkpoint import stage
 
 _MENTION_PATTERN = r'"([^"]+)"'
@@ -176,6 +176,7 @@ def run_pipeline(
         spark, run_dir, "edges", lambda: score_pairs(pairs, entities, endings)
     )
     append_audit(partition_metrics(edges, run_id, "edges"), run_dir, "partitions")
+    append_audit(score_distribution(edges, run_id), run_dir, "scores")
 
     def _components() -> DataFrame:
         accepted = edges.filter(F.col("matched"))

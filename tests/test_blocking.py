@@ -1,0 +1,62 @@
+"""Blocking operator tests: salt-invariance on skewed keys, hot-key cap,
+top-k determinism (SURVEY.md §7 stage 6 skew demonstration)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_wikidata_spark.operators.blocking import (
+    block_size_stats,
+    build_blocks,
+    salted_pair_join,
+    top_k_per_group,
+)
+
+
+def _skewed_blocks(spark):
+    """One hot key carrying half the records plus a long tail."""
+    rows = [(f"r{i:03d}", ["hot"] if i < 40 else [f"cold{i % 10}"]) for i in range(80)]
+    df = spark.createDataFrame(rows, "id string, tokens array<string>")
+    return build_blocks(df, "id", "tokens")
+
+
+def test_salted_join_is_salt_invariant(spark):
+    """Salting changes the physical shuffle, never the result set."""
+    blocks = _skewed_blocks(spark)
+    expect = None
+    for salt in (1, 4, 16):
+        pairs = salted_pair_join(blocks, blocks, salt=salt).filter(
+            F.col("left_id") < F.col("right_id")
+        )
+        got = {(r["left_id"], r["right_id"], r["block_key"]) for r in pairs.collect()}
+        if expect is None:
+            expect = got
+        assert got == expect, f"salt={salt} changed results"
+    # the hot key contributes C(40,2) pairs, each cold key C(4,2)
+    hot = sum(1 for p in expect if p[2] == "hot")
+    assert hot == 40 * 39 // 2
+
+
+def test_block_size_cap_drops_hot_keys(spark):
+    rows = [(f"r{i:03d}", ["hot", f"cold{i}"]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id string, tokens array<string>")
+    capped = build_blocks(df, "id", "tokens", max_block_size=10)
+    keys = {r["block_key"] for r in capped.select("block_key").distinct().collect()}
+    assert "hot" not in keys
+    assert len(keys) == 30  # every cold key survives
+
+
+def test_block_size_stats(spark):
+    stats = {
+        r["block_key"]: r["block_n"]
+        for r in block_size_stats(_skewed_blocks(spark)).collect()
+    }
+    assert stats["hot"] == 40
+    assert all(v == 4 for k, v in stats.items() if k.startswith("cold"))
+
+
+def test_top_k_deterministic_ties(spark):
+    rows = [("g", f"i{i}", 1.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "grp string, item string, score double")
+    top = top_k_per_group(df, "grp", "score", k=3, tiebreak=["item"])
+    assert [r["item"] for r in top.collect()] == ["i0", "i1", "i2"]

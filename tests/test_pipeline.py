@@ -100,3 +100,7 @@ def test_audit_written(spark, tmp_path):
     blocks = spark.read.parquet(os.path.join(run_dir, "audit", "blocks"))
     row = blocks.collect()[0]
     assert row["n_blocks"] > 0 and row["max_block"] >= row["p50_block"]
+    scores = spark.read.parquet(os.path.join(run_dir, "audit", "scores"))
+    kinds = {r["kind"]: r["pairs"] for r in scores.collect()}
+    assert "no_match" in kinds or any(k != "no_match" for k in kinds)
+    assert sum(kinds.values()) > 0
