@@ -500,11 +500,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings").select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
         )
-        dim = len(emb.select("embedding").first()[0])
         queries_df = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
-        return similarity.lsh_top_k(emb, queries_df, dim=dim, k=5)
+        # near-random synthetic embeddings (top-5 cos ≈ 0.3): few planes,
+        # many tables — measured recall 0.95 vs q_embed_topk at sf0.001
+        return similarity.lsh_top_k(emb, queries_df, k=5, n_planes=4, n_tables=20)
 
     def q_token_count(spark, sf):
         return _t(spark, sf, "documents").select(

@@ -154,15 +154,12 @@ def pair_score_udf(
 @F.pandas_udf(BooleanType())
 def identifier_match_udf(tags_json: pd.Series, ids_json: pd.Series) -> pd.Series:
     """M4 as a vectorised stage; inputs JSON-encoded."""
-
-    def _one(pair: tuple[str, str]) -> bool:
-        t, i = pair
-        return identifier_match(
-            json.loads(t) if t else {}, json.loads(i) if i else {}
-        )
-
-    frame = pd.DataFrame({"t": tags_json, "i": ids_json})
-    return frame.apply(lambda r: _one((r["t"], r["i"])), axis=1)
+    return pd.Series(
+        [
+            identifier_match(json.loads(t) if t else {}, json.loads(i) if i else {})
+            for t, i in zip(tags_json, ids_json)
+        ]
+    )
 
 
 @F.pandas_udf(StringType())

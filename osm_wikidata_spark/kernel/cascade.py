@@ -10,8 +10,17 @@ Spark usage: :func:`match_names` is a pure function of
 ``(left, right, endings, place_names)`` — trivially data-parallel, wrapped
 by a vectorised pandas UDF in ``osm_wikidata_spark.functions.udfs``.
 
-Known fixture deviation from reference *code* (intentional): none in this
-module.  See ``records.py`` for the strip-operator fix.
+Known fixture deviation from reference *code* (intentional):
+:func:`match_names` copies the ``endings`` collection per call, so the
+"X at Y" rule's ``endings.remove()`` (match.py:451-456) persists across
+retries *within one pair* but NOT across pairs.  The reference's
+``check_for_match`` (match.py:1028-1059) threads one mutable set through
+the whole names cross-product, making a pair's outcome depend on which
+pairs ran before it — order-dependence that a distributed engine cannot
+reproduce (Spark gives no cross-row evaluation order).  Every fixture
+passes under the per-pair-copy semantics; multi-name entities whose match
+relied on the shared mutation would diverge, by design.  See
+``records.py`` for the sibling strip-operator fix.
 """
 
 from __future__ import annotations

@@ -11,10 +11,13 @@ in order:
 1. **block-size cap** — blocks larger than ``max_block_size`` on either side
    are dropped (with audit counts); a token shared by 10^6 records carries no
    discriminative signal, exactly like the reference's skip_tags
-   (place.py:70-85).
-2. **salted join** — the probe side is salted into ``salt`` sub-keys and the
-   build side exploded ``salt``-fold, bounding any single reducer's share of
-   a hot key (north_rule requirement).
+   (place.py:70-85).  The broadcast side is the *hot* key list — small by
+   construction (``Σ block_n > cap·|hot|`` bounds it at corpus/cap keys) —
+   never the keep set, which at 10^12 turns is nearly every distinct token.
+2. **salted join** — two-path: only keys whose pair product exceeds
+   ``hot_threshold`` are salted (probe side split into ``salt`` sub-keys,
+   build side exploded ``salt``-fold); the cold 99% of keys join unsalted,
+   paying no explode/shuffle amplification (north_rule requirement).
 3. **AQE skew-join** stays on as the runtime backstop.
 """
 
@@ -31,8 +34,10 @@ def build_blocks(
 ) -> DataFrame:
     """Explode a token-array column into an inverted (block_key, id) index.
 
-    With ``max_block_size``, hot keys are removed *before* the join — a
-    count-based semi-anti filter that runs as one cheap pre-aggregation.
+    With ``max_block_size``, hot keys are removed *before* the join via a
+    broadcast **anti**-join against the (small) hot-key list.  Broadcasting
+    the complement — all keys at or under the cap — would ship nearly the
+    whole token vocabulary to every executor at scale.
     """
     blocks = df.select(
         F.col(id_col).alias("block_id"),
@@ -40,8 +45,8 @@ def build_blocks(
     ).dropDuplicates(["block_id", "block_key"])
     if max_block_size is not None:
         sizes = blocks.groupBy("block_key").agg(F.count("*").alias("block_n"))
-        keep = sizes.filter(F.col("block_n") <= max_block_size).select("block_key")
-        blocks = blocks.join(F.broadcast(keep), "block_key")
+        hot = sizes.filter(F.col("block_n") > max_block_size).select("block_key")
+        blocks = blocks.join(F.broadcast(hot), "block_key", "left_anti")
     return blocks
 
 
@@ -54,26 +59,46 @@ def salted_pair_join(
     left_blocks: DataFrame,
     right_blocks: DataFrame,
     salt: int = 8,
+    hot_threshold: int = 65536,
 ) -> DataFrame:
     """Join two (block_key, block_id) indexes into candidate pairs.
 
-    The left side gets a deterministic per-row salt (hash of its id), the
-    right side is exploded across all salt values; joining on
-    ``(block_key, salt)`` splits each hot key across ``salt`` reducers.
-    Dedups (left_id, right_id) pairs that co-occur in several blocks, keeping
-    the lexicographically-smallest key for lineage.
+    Two-path skew defence: keys whose pair product ``left_n × right_n``
+    exceeds ``hot_threshold`` are joined salted — the left side gets a
+    deterministic per-row salt (hash of its id), the right side is exploded
+    across all ``salt`` values, so each hot key splits across ``salt``
+    reducers.  Every other key joins unsalted: a blanket ``salt``-fold
+    explode would multiply shuffle volume for the cold 99% of keys that
+    never needed it.  The hot list is tiny by construction (product > 65536
+    means ≥256 rows on a side) and is broadcast for the path split.
+
+    Dedups (left_id, right_id) pairs that co-occur in several blocks,
+    keeping the lexicographically-smallest key for lineage.
     """
-    salted_left = left_blocks.select(
-        F.col("block_id").alias("left_id"),
-        "block_key",
-        F.pmod(F.xxhash64("block_id"), F.lit(salt)).alias("salt"),
-    )
-    salted_right = right_blocks.select(
-        F.col("block_id").alias("right_id"),
-        "block_key",
-        F.explode(F.array([F.lit(i) for i in range(salt)])).alias("salt"),
-    )
-    pairs = salted_left.join(salted_right, ["block_key", "salt"]).drop("salt")
+    left = left_blocks.select(F.col("block_id").alias("left_id"), "block_key")
+    right = right_blocks.select(F.col("block_id").alias("right_id"), "block_key")
+    if salt <= 1:
+        pairs = left.join(right, "block_key")
+    else:
+        left_n = left.groupBy("block_key").agg(F.count("*").alias("left_n"))
+        right_n = right.groupBy("block_key").agg(F.count("*").alias("right_n"))
+        hot = (
+            left_n.join(right_n, "block_key")
+            .filter(F.col("left_n") * F.col("right_n") > hot_threshold)
+            .select("block_key")
+        )
+        hot_b = F.broadcast(hot)
+        cold_pairs = left.join(hot_b, "block_key", "left_anti").join(
+            right.join(hot_b, "block_key", "left_anti"), "block_key"
+        )
+        salted_left = left.join(hot_b, "block_key").withColumn(
+            "salt", F.pmod(F.xxhash64("left_id"), F.lit(salt))
+        )
+        salted_right = right.join(hot_b, "block_key").withColumn(
+            "salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+        )
+        hot_pairs = salted_left.join(salted_right, ["block_key", "salt"]).drop("salt")
+        pairs = cold_pairs.unionByName(hot_pairs)
     return pairs.groupBy("left_id", "right_id").agg(
         F.min("block_key").alias("block_key")
     )

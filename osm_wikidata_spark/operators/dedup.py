@@ -51,23 +51,6 @@ def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
     )
 
 
-def minhash_signature(shingles_col: F.Column, n_hashes: int = 16) -> F.Column:
-    """Array of per-seed minima of md5(seed || shingle).
-
-    Lexicographic min over hex digests is a valid uniform min-hash family and
-    is bit-identical in any engine with md5 — the portability trick that
-    makes the DuckDB oracle exact.
-    """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles_col, lambda s, i=i: F.md5(F.concat(F.lit(f"seed{i}:"), s)))
-            )
-            for i in range(n_hashes)
-        ]
-    )
-
-
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -141,35 +124,73 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard ≥ ``threshold`` pairs via prefix filtering.
 
-    inverted-index join: explode shingles → self-join on shingle → count
-    intersections → |A∪B| = |A| + |B| − |A∩B|.
+    A naive inverted-index self-join emits k² rows for a boilerplate shingle
+    shared by k documents.  Prefix filtering (Bayardo et al., "Scaling Up
+    All Pairs Similarity Search", WWW'07; Chaudhuri et al. SSJoin) removes
+    that blow-up *without* approximation: order every document's shingles by
+    ascending global document frequency (rarest first, ties on the shingle
+    string) and join only each document's **prefix** — its first
+    ``|S| − ⌈t·|S|⌉ + 1`` shingles.  Any pair with Jaccard ≥ t must share an
+    element of both prefixes (Jaccard ≥ t ⇒ |A∩B| ≥ t·|A|, so the prefix of
+    A cannot be disjoint from A∩B; same for B).  A boilerplate shingle,
+    having maximal frequency, sorts last and almost never lands in a prefix
+    — the self-join's hot keys defuse themselves.
+
+    Candidates are then verified exactly with ``array_intersect`` on the
+    full shingle arrays, so the result is identical to the all-pairs join at
+    every scale (the oracle stays exact).
     """
     with_sets = docs.select(
         F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("sh")
     ).withColumn("set_size", F.size("sh"))
     inverted = with_sets.select("doc", "set_size", F.explode("sh").alias("shingle"))
-    left = inverted.select(
-        F.col("doc").alias("left_id"), F.col("set_size").alias("left_n"), "shingle"
+
+    shingle_df = inverted.groupBy("shingle").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(threshold) * F.col("set_size")).cast("int")
+        + F.lit(1)
     )
-    right = inverted.select(
-        F.col("doc").alias("right_id"), F.col("set_size").alias("right_n"), "shingle"
+    prefix = (
+        inverted.join(shingle_df, "shingle")
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= prefix_len)
+        .select("doc", "shingle")
     )
-    common = (
-        left.join(right, "shingle")
+
+    candidates = (
+        prefix.select(F.col("doc").alias("left_id"), "shingle")
+        .join(prefix.select(F.col("doc").alias("right_id"), "shingle"), "shingle")
         .filter(F.col("left_id") < F.col("right_id"))
-        .groupBy("left_id", "right_id", "left_n", "right_n")
-        .agg(F.count("*").alias("common"))
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
     )
-    return common.select(
-        "left_id",
-        "right_id",
-        (
-            F.col("common")
-            / (F.col("left_n") + F.col("right_n") - F.col("common"))
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+
+    # exact verification on the full shingle sets
+    left_sets = with_sets.select(
+        F.col("doc").alias("left_id"), F.col("sh").alias("left_sh"),
+        F.col("set_size").alias("left_n"),
+    )
+    right_sets = with_sets.select(
+        F.col("doc").alias("right_id"), F.col("sh").alias("right_sh"),
+        F.col("set_size").alias("right_n"),
+    )
+    common = F.size(F.array_intersect("left_sh", "right_sh"))
+    return (
+        candidates.join(left_sets, "left_id")
+        .join(right_sets, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            (common / (F.col("left_n") + F.col("right_n") - common)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash_table(
@@ -209,39 +230,52 @@ def simhash_table(
     return votes.select("doc", sim.alias("sim"))
 
 
-def simhash_near_dups(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_n: int = 3,
-    max_hamming: int = 6,
-) -> DataFrame:
-    """Near-dup pairs whose SimHashes are within ``max_hamming`` bits.
+def _band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(offset, width) per band, splitting ``bits`` into ``n_bands``
+    near-equal contiguous blocks."""
+    base, extra = divmod(bits, n_bands)
+    bounds, offset = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        bounds.append((offset, width))
+        offset += width
+    return bounds
 
-    Candidate generation blocks on 16-bit hash quarters (a pair within
-    Hamming distance ≤ 6 of a 60-bit hash shares at least one of 4 quarters
-    by pigeonhole), then verifies exact Hamming distance.
+
+def simhash_candidate_pairs(
+    hashed: DataFrame, bits: int, max_hamming: int
+) -> DataFrame:
+    """Band-blocked candidate pairs over a (doc, sim) table with exact
+    Hamming verification.
+
+    Pigeonhole: splitting ``bits`` into ``max_hamming + 1`` bands guarantees
+    a pair within Hamming distance ≤ ``max_hamming`` shares at least one
+    *intact* band (``max_hamming`` errors cannot touch all
+    ``max_hamming + 1`` bands).  Fewer bands — e.g. 4 bands for distance 6 —
+    silently miss pairs whose errors spread 2+2+1+1 across every band.
     """
-    hashed = simhash_table(docs, id_col, text_col, shingle_n)
-    quarters = hashed.select(
+    n_bands = max_hamming + 1
+    bands = hashed.select(
         "doc",
         "sim",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftright("sim", q * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("qv"),
+                        F.lit(b).alias("q"),
+                        F.shiftright("sim", offset)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("qv"),
                     )
-                    for q in range(4)
+                    for b, (offset, width) in enumerate(_band_bounds(bits, n_bands))
                 ]
             )
         ).alias("qs"),
     ).select("doc", "sim", F.col("qs.q").alias("q"), F.col("qs.qv").alias("qv"))
-    left = quarters.select(
+    left = bands.select(
         F.col("doc").alias("left_id"), F.col("sim").alias("left_sim"), "q", "qv"
     )
-    right = quarters.select(
+    right = bands.select(
         F.col("doc").alias("right_id"), F.col("sim").alias("right_sim"), "q", "qv"
     )
     candidates = (
@@ -253,3 +287,21 @@ def simhash_near_dups(
     return candidates.select(
         "left_id", "right_id", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_hamming: int = 6,
+    bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs whose SimHashes are within ``max_hamming`` bits.
+
+    Candidate generation blocks on ``max_hamming + 1`` contiguous bands of
+    the ``bits``-bit hash (see :func:`simhash_candidate_pairs` for the
+    pigeonhole recall guarantee), then verifies exact Hamming distance.
+    """
+    hashed = simhash_table(docs, id_col, text_col, shingle_n, bits)
+    return simhash_candidate_pairs(hashed, bits, max_hamming)

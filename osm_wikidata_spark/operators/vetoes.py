@@ -45,13 +45,21 @@ def apply_vetoes(
     rules: DataFrame,
     left_attrs_col: str = "left_attrs",
     right_attrs_col: str = "right_attrs",
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Filter out pairs hit by any incompatibility rule.
 
-    ``pairs`` carries attribute arrays for both sides; the rule table is
-    broadcast and the veto is a left-anti join on the exploded hits —
-    one shuffle-free pass at any scale.
+    ``pairs`` carries attribute arrays for both sides.  With ``id_cols``
+    (the pair identity, e.g. ``["left_id", "right_id"]``) the veto is a
+    broadcast join to find hits and a left-anti join back — duplicate-row
+    safe (``exceptAll`` against a deduplicated hit set would leave extra
+    occurrences of a vetoed duplicate row alive).  Without ``id_cols`` the
+    rule table — broadcast-sized by definition — is collected and compiled
+    into one row predicate: no join at all.
     """
+    if id_cols is None:
+        collected = [(r["left_attr"], r["right_attr"]) for r in rules.collect()]
+        return apply_vetoes_expr(pairs, collected, left_attrs_col, right_attrs_col)
     hit = (
         pairs.join(
             F.broadcast(rules),
@@ -59,10 +67,10 @@ def apply_vetoes(
             & F.array_contains(F.col(right_attrs_col), F.col("right_attr"))
             & ~F.array_contains(F.col(right_attrs_col), F.col("left_attr")),
         )
-        .select(pairs.columns)
-        .dropDuplicates(pairs.columns)
+        .select(id_cols)
+        .dropDuplicates(id_cols)
     )
-    return pairs.exceptAll(hit)
+    return pairs.join(hit, id_cols, "left_anti")
 
 
 def apply_vetoes_expr(

@@ -15,14 +15,38 @@ one-line change per SURVEY.md §7 risk register.)
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_MANIFEST = "_PARAMS_MANIFEST.json"
+
 
 def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _params_hash(params: dict | None) -> str | None:
+    if params is None:
+        return None
+    return hashlib.md5(
+        json.dumps(params, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
+def _manifest_matches(path: str, fingerprint: str | None) -> bool:
+    """A stage output is reusable when its recorded parameter fingerprint
+    matches (or no fingerprint is in play — legacy / un-parameterised)."""
+    if fingerprint is None:
+        return True
+    manifest = os.path.join(path, _MANIFEST)
+    if not os.path.exists(manifest):
+        return False
+    with open(manifest) as f:
+        return json.load(f).get("params_hash") == fingerprint
 
 
 def stage(
@@ -31,21 +55,31 @@ def stage(
     name: str,
     build: Callable[[], DataFrame],
     partition_by: list[str] | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Materialise one pipeline stage, or reuse a prior run's output.
 
     With ``run_dir=None`` checkpointing is off; the stage output is cached
     in memory instead so downstream stages don't recompute it (tests /
     small runs).
+
+    ``params`` fingerprints the stage's parameterisation: re-running the
+    same ``run_dir`` with different parameters rebuilds the stage instead of
+    silently reusing stale output (the ``_SUCCESS`` marker alone can't tell
+    a max_block_size=50 run from a max_block_size=500 one).
     """
     if run_dir is None:
         return build().cache()
     path = os.path.join(run_dir, name)
-    if not _done(path):
+    fingerprint = _params_hash(params)
+    if not (_done(path) and _manifest_matches(path, fingerprint)):
         writer = build().write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        if fingerprint is not None:
+            with open(os.path.join(path, _MANIFEST), "w") as f:
+                json.dump({"params_hash": fingerprint, "params": params}, f, default=str)
     return spark.read.parquet(path)
 
 

@@ -162,6 +162,7 @@ def run_pipeline(
         run_dir,
         "blocks",
         lambda: build_blocks(entities, "conv_id", "tokens", max_block_size),
+        params={"max_block_size": max_block_size},
     )
     append_audit(block_skew_metrics(blocks, run_id), run_dir, "blocks")
 
@@ -169,11 +170,17 @@ def run_pipeline(
         p = salted_pair_join(blocks, blocks, salt=salt)
         return p.filter(F.col("left_id") < F.col("right_id"))
 
-    pairs = stage(spark, run_dir, "pairs", _pairs)
+    pairs = stage(
+        spark, run_dir, "pairs", _pairs, params={"salt": salt, "max_block_size": max_block_size}
+    )
     append_audit(partition_metrics(pairs, run_id, "pairs"), run_dir, "partitions")
 
     edges = stage(
-        spark, run_dir, "edges", lambda: score_pairs(pairs, entities, endings)
+        spark,
+        run_dir,
+        "edges",
+        lambda: score_pairs(pairs, entities, endings),
+        params={"endings": endings, "salt": salt, "max_block_size": max_block_size},
     )
     append_audit(partition_metrics(edges, run_id, "edges"), run_dir, "partitions")
     append_audit(score_distribution(edges, run_id), run_dir, "scores")

@@ -56,8 +56,14 @@ def incremental_edges_batch(
     if have_state:
         old_blocks = spark.read.parquet(blocks_path)
         old_entities = spark.read.parquet(entities_path)
-        all_blocks = old_blocks.unionByName(new_blocks)
-        all_entities = old_entities.unionByName(new_entities)
+        # dedupe on identity: a retried micro-batch re-unions its rows, and
+        # duplicate block/entity rows would double-count pairs downstream
+        all_blocks = old_blocks.unionByName(new_blocks).dropDuplicates(
+            ["block_id", "block_key"]
+        )
+        all_entities = old_entities.unionByName(new_entities).dropDuplicates(
+            ["conv_id"]
+        )
     else:
         all_blocks = new_blocks
         all_entities = new_entities
@@ -84,11 +90,23 @@ def incremental_edges_batch(
 
 
 def _swap(path: str) -> None:
+    """Promote ``<path>_next`` to ``<path>`` crash-safely.
+
+    Rename the live dir aside FIRST, then promote, then delete the old
+    generation — a crash between steps leaves either the old state intact or
+    both dirs present (``_old`` is cleaned up on the next call), never an
+    empty state that would silently drop all cross-batch candidate pairs.
+    """
     import shutil
 
+    old = path + "_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(path + "_next", path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def stream_transcripts(

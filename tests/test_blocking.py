@@ -24,10 +24,12 @@ def test_salted_join_is_salt_invariant(spark):
     """Salting changes the physical shuffle, never the result set."""
     blocks = _skewed_blocks(spark)
     expect = None
-    for salt in (1, 4, 16):
-        pairs = salted_pair_join(blocks, blocks, salt=salt).filter(
-            F.col("left_id") < F.col("right_id")
-        )
+    # hot_threshold=100 puts "hot" (40×40) on the salted path and the cold
+    # keys (4×4) on the unsalted path; 10**9 puts everything unsalted
+    for salt, threshold in ((1, 100), (4, 100), (16, 100), (8, 10**9)):
+        pairs = salted_pair_join(
+            blocks, blocks, salt=salt, hot_threshold=threshold
+        ).filter(F.col("left_id") < F.col("right_id"))
         got = {(r["left_id"], r["right_id"], r["block_key"]) for r in pairs.collect()}
         if expect is None:
             expect = got
@@ -35,6 +37,31 @@ def test_salted_join_is_salt_invariant(spark):
     # the hot key contributes C(40,2) pairs, each cold key C(4,2)
     hot = sum(1 for p in expect if p[2] == "hot")
     assert hot == 40 * 39 // 2
+
+
+def test_salted_join_salts_only_hot_keys(spark):
+    """The explode amplification is confined to the hot path."""
+    blocks = _skewed_blocks(spark)
+    plan = salted_pair_join(
+        blocks, blocks, salt=8, hot_threshold=100
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one explode (hot path) and two anti-joins (cold path split)
+    assert plan.lower().count("explode(") >= 1
+    assert plan.count("LeftAnti") == 2
+
+
+def test_build_blocks_broadcasts_hot_list_not_keep_set(spark):
+    """The cap must anti-join a broadcast HOT list: broadcasting the keep
+    set ships nearly the whole token vocabulary at scale."""
+    rows = [(f"r{i:03d}", ["hot", f"cold{i}"]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id string, tokens array<string>")
+    plan = (
+        build_blocks(df, "id", "tokens", max_block_size=10)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
 
 
 def test_block_size_cap_drops_hot_keys(spark):

@@ -54,6 +54,48 @@ def test_simhash(spark):
     assert (4, 5) not in pairs
 
 
+def test_simhash_banding_catches_spread_errors(spark):
+    """Pigeonhole regression: 6 errors spread 2+2+1+1 across the old 15-bit
+    quarters (offsets 0/15/30/45) left no intact quarter, so 4-band blocking
+    silently missed the pair.  max_hamming+1 bands must find it."""
+    spread = (1 << 0) | (1 << 1) | (1 << 15) | (1 << 16) | (1 << 30) | (1 << 45)
+    hashed = spark.createDataFrame(
+        [(1, 0), (2, spread), (3, (1 << 60) - 1)], "doc bigint, sim long"
+    )
+    got = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in dedup.simhash_candidate_pairs(hashed, bits=60, max_hamming=6).collect()
+    }
+    assert got == {(1, 2): 6}
+
+
+def test_ngram_jaccard_prefix_filter_equals_all_pairs(spark):
+    """Prefix-filtered candidates + exact verify == brute-force all pairs."""
+    import itertools
+
+    docs = _docs(spark)
+    rows = docs.collect()
+
+    def shingles(text):
+        words = " ".join(text.lower().split()).split(" ")
+        return {" ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 1))}
+
+    expect = {}
+    for (i, a), (j, b) in itertools.combinations(
+        sorted((r["doc_id"], r["text"]) for r in rows), 2
+    ):
+        sa, sb = shingles(a), shingles(b)
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= 0.3:
+            expect[(i, j)] = round(jac, 6)
+
+    got = {
+        (r["left_id"], r["right_id"]): round(r["jaccard"], 6)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert got == expect
+
+
 def test_brute_force_topk(spark):
     vecs = spark.createDataFrame(
         [
@@ -80,9 +122,54 @@ def test_lsh_topk_finds_identical(spark):
     queries = vecs.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    got = similarity.lsh_top_k(vecs, queries, dim=4, k=1).collect()
+    got = similarity.lsh_top_k(vecs, queries, k=1).collect()
     # every query's identical vector shares its bucket and ranks first
     assert all(r["query_id"] == r["vec_id"] for r in got)
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """Multi-table LSH must reach ≥0.9 recall@5 against the exact baseline
+    on the driver's embeddings testdata (VERDICT round-1 done-gate)."""
+    import os
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_top_k(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.lsh_top_k(emb, queries, k=5, n_planes=4, n_tables=20).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
+
+
+def test_ivf_assign(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-0.1, 0.9]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(vecs, [[1.0, 0.0], [0.0, 1.0]]).collect()
+    }
+    assert cells == {1: 0, 2: 0, 3: 1, 4: 1}
 
 
 def test_textstats(spark):

@@ -28,6 +28,23 @@ def test_apply_vetoes_join(spark):
     rules = veto_rules_table(spark, DEFAULT_VETO_RULES)
     kept = {r["pair_id"] for r in apply_vetoes(_pairs(spark), rules).collect()}
     assert kept == {"p2", "p4", "p5"}
+    kept_anti = {
+        r["pair_id"]
+        for r in apply_vetoes(_pairs(spark), rules, id_cols=["pair_id"]).collect()
+    }
+    assert kept_anti == {"p2", "p4", "p5"}
+
+
+def test_apply_vetoes_removes_duplicate_rows(spark):
+    """A vetoed pair appearing twice must lose BOTH occurrences (the old
+    exceptAll-vs-deduplicated-hits path left one alive)."""
+    dup = _pairs(spark).unionAll(_pairs(spark))
+    rules = veto_rules_table(spark, DEFAULT_VETO_RULES)
+    kept = [
+        r["pair_id"]
+        for r in apply_vetoes(dup, rules, id_cols=["pair_id"]).collect()
+    ]
+    assert sorted(kept) == ["p2", "p2", "p4", "p4", "p5", "p5"]
 
 
 def test_apply_vetoes_expr(spark):
