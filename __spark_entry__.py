@@ -134,6 +134,102 @@ def _sql_values(rows: list[tuple], cols: str) -> str:
     return f"SELECT * FROM (VALUES {body}) AS t({cols})"
 
 
+# ------------------------------------------------ reject/M3/F7 fixtures
+# each case carries its expected output (last element) — the VALUES oracle
+
+def _REJECT_CASE_ROWS() -> list[tuple]:
+    """(pair_id, osm_tags, item_tags, categories, instanceof, dist, idm,
+    adm, nm, detail, matching_tags, expected_reject) — reject strings
+    byte-identical to matcher.py:995-1135."""
+    return [
+        ("finchley",
+         {"bus": "yes", "highway": "bus_stop", "name": "Finchley Road Station",
+          "public_transport": "platform"},
+         ["public_transport=platform", "railway=historic_station"], [], ["Q55488"],
+         None, False, None, True, [("name", "good")], ["public_transport=platform"],
+         "nearby match OSM bus stop matching non-bus stop"),
+        ("far-house",
+         {"building": "house", "name": "Victoria Station"}, [], [], ["Q55488"],
+         80.0, False, None, True, [("name", "good")], [],
+         "station shouldn't match a distant house"),
+        ("near-house",
+         {"building": "house", "name": "Victoria Station"}, [], [], ["Q55488"],
+         30.0, False, None, True, [("name", "good")], ["railway=station"], None),
+        ("historic",
+         {"building": "yes"}, [], ["Historic districts in Foo"], [],
+         None, False, None, True, [("name", "good")], ["building"],
+         "historic district shouldn't match building"),
+        ("city",
+         {"admin_level": "10", "name": "Foo"}, [], ["Cities in Bar"], [],
+         None, False, None, True, [("name", "good")], [], "bad city match"),
+        ("addr-differ",
+         {"name": "X"}, [], [], [], None, False, False, True,
+         [("name", "good")], [], "OSM and Wikidata addresses differ"),
+        ("no-match", {"name": "X"}, [], [], [], None, False, None, False, None, [],
+         "no match"),
+        ("road", {"name": "X"}, [], [], ["Q34442"], None, False, None, True,
+         [("name", "good")], [], "nearby road match"),
+        ("peak", {"name": "X"}, [], [], ["Q46831"], 150.0, False, None, True,
+         [("name", "good")], ["natural=peak"], "mountain range shouldn't match peak"),
+        ("school-restaurant",
+         {"amenity": "restaurant"}, ["amenity=school"], [], [], None, False, True,
+         False, None, ["building"], "Wikidata school shouldn't match OSM restaurant"),
+        ("station-by-address",
+         {"building": "train_station"}, [], [], [], None, False, True, False, None,
+         ["building"], "non-station shouldn't match station by address"),
+        ("castle-station",
+         {"railway": "station", "name": "Foo Castle"}, ["historic=castle"], [], [],
+         None, False, None, True, [("name", "good")], ["building=yes"], "bad match"),
+        ("weak-names",
+         {"building": "yes", "name": "Foo"}, [], [], [], None, False, None, True,
+         [("name", "both_trimmed")], ["building"], "bad building match"),
+        ("stadium-restaurant",
+         {"amenity": "restaurant", "name": "Foo"}, [], [], ["Q483110"], None, False,
+         None, True, [("name", "good")], ["building"],
+         "stadium shouldn't match restaurant"),
+        ("stadium-supermarket",
+         {"shop": "supermarket", "name": "Foo"}, [], [], ["Q483110"], None, False,
+         None, True, [("name", "good")], ["building"],
+         "stadium shouldn't match supermarket"),
+        ("accepted", {"name": "X"}, [], [], [], 10.0, False, None, True,
+         [("name", "good")], ["amenity=school"], None),
+        ("id-accepted", {"building": "house"}, [], [], ["Q55488"], 80.0, True, None,
+         False, None, [], None),
+    ]
+
+
+# (case_id, tags, names, endings, expected [(osm_key, osm_name, entity_name, kind)])
+_M3_CASES = [
+    ("exact", {"name": "Foo"}, ["Foo", "Bar"], None,
+     [("name", "Foo", "Foo", "good")]),
+    ("article", {"name": "The Red Lion", "operator": "Punch Taverns"}, ["Red Lion"],
+     None, [("name", "The Red Lion", "Red Lion", "good")]),
+    ("case-two-keys", {"name": "Station Road", "alt_name": "station road"},
+     ["station road"], None,
+     [("name", "Station Road", "station road", "good"),
+      ("alt_name", "station road", "station road", "good")]),
+    ("tidy", {"name": "Saint Mary"}, ["St Mary"], None,
+     [("name", "Saint Mary", "St Mary", "good")]),
+    ("endings", {"name": "St Andrew's Church"}, ["Church of St Andrew"],
+     ("church", "church of"),
+     [("name", "St Andrew's Church", "Church of St Andrew", "both_trimmed")]),
+    ("miss", {"name": "Foo"}, ["Quux"], None, []),
+]
+
+# (case_id, article_html, expected_names)
+_HTML_CASES = [
+    ("pronunciation",
+     '<p><b>Maudlin College</b> is a college. <small><i><b>MAWD</b>-lin</i></small></p>',
+     ["Maudlin College"]),
+    ("short-and-list",
+     '<p><b>A</b> <b>Big Name</b> and <ul><li><b>listed</b></li></ul></p>',
+     ["Big Name"]),
+    ("nested", "<p><b>Nested <i>tag</i> name</b></p>", ["Nested tag name"]),
+    ("empty", "  ", []),
+    ("plain", "no bold here", []),
+]
+
+
 # ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -776,6 +872,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
         )
 
+    def q_reduce_candidates(spark, sf):
+        # G4+G9/G10+G5/G7/G8/G1: the per-type candidate-reduction family
+        # (matcher.py:939-983, 986-992, 1290-1426, 1567-1582) over a fixture
+        # candidate table; expected kept rows are the VALUES oracle
+        from osm_wikidata_spark.operators import reduce as red
+
+        rows = [
+            # G4 Shepperton (reference tests/test_matcher.py:1043-1095)
+            ("Q1", "node", 101, "Shepperton", 26.78, {"railway": "station"}, ["railway=station"], True, False, False),
+            ("Q1", "way", 102, "Shepperton Station", 0.0, {"building": "yes"}, ["building"], True, False, False),
+            # G9a schools
+            ("Q2", "node", 201, "School", 10.0, {}, ["amenity=school"], True, False, False),
+            ("Q2", "way", 202, "School", 10.0, {}, ["building=school"], True, False, False),
+            # G9c station branch 1
+            ("Q3", "node", 301, "Stn", 10.0, {}, ["railway=station"], True, False, False),
+            ("Q3", "node", 302, "Stn", 10.0, {}, ["railway=tram_stop"], True, False, False),
+            ("Q3", "node", 303, "Stn", 10.0, {}, ["railway=tram_stop"], True, False, False),
+            # G9b churches
+            ("Q4", "node", 401, "Ch", 10.0, {}, ["amenity=place_of_worship"], True, False, False),
+            ("Q4", "way", 402, "Ch", 10.0, {}, ["religion=christian"], True, False, False),
+            # G9d building way over node
+            ("Q5", "way", 501, "B", 10.0, {"building": "yes"}, ["building"], True, True, False),
+            ("Q5", "node", 502, "B", 10.0, {"amenity": "bar"}, [], True, True, False),
+            # G9e reservoir
+            ("Q6", "way", 601, "R", 10.0, {}, [], True, False, True),
+            ("Q6", "node", 602, "R", 10.0, {}, [], True, False, True),
+            # untouched group
+            ("Q7", "node", 701, "Cafe A", 20.0, {}, ["amenity=cafe"], True, False, False),
+            ("Q7", "node", 702, "Bookshop B", 500.0, {}, ["shop=books"], True, False, False),
+            # G5 railway station over station building
+            ("Q8", "node", 801, "S", 10.0, {}, ["railway=station"], True, False, False),
+            ("Q8", "way", 802, "S", 10.0, {}, ["building=train_station"], True, False, False),
+            # G7 farmhouse
+            ("Q9", "way", 901, "Manor", 10.0, {}, [], True, False, False),
+            ("Q9", "way", 902, "Manor Farm House", 10.0, {}, [], True, False, False),
+            # G8 bridge
+            ("Q10", "way", 1001, "Br", 10.0, {"man_made": "bridge"}, [], True, False, False),
+            ("Q10", "way", 1002, "Br", 10.0, {"bridge": "yes", "highway": "primary"}, [], True, False, False),
+            # G1 filter_distant
+            ("Q11", "node", 1101, "D one", 20.0, {}, [], True, False, False),
+            ("Q11", "node", 1102, "D two", 1500.0, {}, [], True, False, False),
+        ]
+        schema = (
+            "item_id string, osm_type string, osm_id int, name string, dist double,"
+            " tags map<string,string>, matching_tags array<string>, name_match boolean,"
+            " is_primarily_building boolean, is_reservoir boolean"
+        )
+        cands = spark.createDataFrame(rows, schema)
+        out = red.prefer_tag_match_over_building_only_match(cands)
+        out = red.reduce_candidates(out)
+        out = red.prefer_railway_station(out)
+        out = red.prefer_farmhouse(out)
+        out = red.filter_bridge(out)
+        out = red.filter_distant_exact(out)
+        return out.select("item_id", "osm_id")
+
+    def q_reject_reasons(spark, sf):
+        # V1-V6/G11: check_item_candidate reject chain with the reference's
+        # exact reason strings (matcher.py:995-1135; reject strings pinned by
+        # reference tests/test_matcher.py:1230-1263)
+        from osm_wikidata_spark.operators.rejects import candidate_rejects
+
+        rows = _REJECT_CASE_ROWS()
+        schema = (
+            "pair_id string, osm_tags map<string,string>, item_tags array<string>,"
+            " categories array<string>, instanceof array<string>, dist double,"
+            " identifier_match boolean, address_match boolean, name_match boolean,"
+            " name_match_detail array<struct<osm_key string, match_type string>>,"
+            " matching_tags array<string>"
+        )
+        pairs = spark.createDataFrame([r[:-1] for r in rows], schema)
+        return candidate_rejects(pairs).select("pair_id", "reject")
+
+    def q_get_all_matches(spark, sf):
+        # M3: diagnostic flat match list (match.py:1080-1107)
+        import json
+
+        from osm_wikidata_spark.functions.udfs import get_all_matches_udf
+
+        rows = [
+            (cid, json.dumps(tags), names, list(endings) if endings else None)
+            for cid, tags, names, endings, _expect in _M3_CASES
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "case_id string, tags_json string, names array<string>, endings array<string>",
+        )
+        hits = df.select(
+            "case_id",
+            F.explode(get_all_matches_udf("tags_json", "names", "endings")).alias("m"),
+        )
+        return hits.select(
+            "case_id",
+            F.col("m.osm_key").alias("osm_key"),
+            F.col("m.osm_name").alias("osm_name"),
+            F.col("m.entity_name").alias("entity_name"),
+            F.col("m.kind").alias("kind"),
+        )
+
+    def q_html_names(spark, sf):
+        # F7: bold-name extraction from extract HTML (wikipedia.py:126-139)
+        from osm_wikidata_spark.functions.udfs import html_names_udf
+
+        df = spark.createDataFrame(
+            [(cid, html) for cid, html, _e in _HTML_CASES],
+            "case_id string, article string",
+        )
+        return df.select(
+            "case_id", F.explode(html_names_udf("article")).alias("name")
+        )
+
+    def q_geonames_filter(spark, sf):
+        # F13: drop auto-imported geonames spring labels (place.py:64,569-572)
+        label = F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                (F.col("c_custkey") % 10).cast("string"),
+                F.lit("ABCDEFGHIJKL_ Spring"),
+            ),
+        ).otherwise(F.col("c_name"))
+        return (
+            _t(spark, sf, "customer")
+            .select("c_custkey", label.alias("label"))
+            .filter(~F.col("label").rlike(r"^\d[0-9A-Z_]{13} Spring$"))
+        )
+
     return {
         "q_scan_entities": q_scan_entities,
         "q_parse_group": q_parse_group,
@@ -826,6 +1048,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_names_from_entity": q_names_from_entity,
         "q_filter_distant": q_filter_distant,
         "q_prefer_unique": q_prefer_unique,
+        "q_reduce_candidates": q_reduce_candidates,
+        "q_reject_reasons": q_reject_reasons,
+        "q_get_all_matches": q_get_all_matches,
+        "q_html_names": q_html_names,
+        "q_geonames_filter": q_geonames_filter,
     }
 
 
@@ -1216,6 +1443,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT left_id, right_id, priority FROM w
             WHERE np <> 1 OR priority = '1-URGENT'
+        """,
+        "q_reduce_candidates": _sql_values(
+            [
+                ("Q1", 101), ("Q2", 201), ("Q3", 301), ("Q4", 401), ("Q5", 501),
+                ("Q6", 601), ("Q7", 701), ("Q7", 702), ("Q8", 801), ("Q9", 902),
+                ("Q10", 1001), ("Q11", 1101),
+            ],
+            "item_id, osm_id",
+        ),
+        "q_reject_reasons": _sql_values(
+            [(row[0], row[-1]) for row in _REJECT_CASE_ROWS()], "pair_id, reject"
+        ),
+        "q_get_all_matches": _sql_values(
+            [
+                (cid, osm_key, osm_name, entity_name, kind)
+                for cid, _t3, _n3, _e3, expect in _M3_CASES
+                for osm_key, osm_name, entity_name, kind in expect
+            ],
+            "case_id, osm_key, osm_name, entity_name, kind",
+        ),
+        "q_html_names": _sql_values(
+            [(cid, name) for cid, _h, expect in _HTML_CASES for name in expect],
+            "case_id, name",
+        ),
+        "q_geonames_filter": r"""
+            SELECT c_custkey, label FROM (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 3 = 0
+                          THEN CAST(c_custkey % 10 AS VARCHAR) || 'ABCDEFGHIJKL_ Spring'
+                          ELSE c_name END AS label
+              FROM customer
+            ) WHERE NOT regexp_matches(label, '^\d[0-9A-Z_]{13} Spring$')
         """,
         # rows-only (non-SQL-expressible): q_dedup_minhash, q_dedup_simhash,
         # q_embed_lsh_topk, q_er_pipeline, q_multimodal_features

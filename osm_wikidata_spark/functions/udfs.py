@@ -252,3 +252,46 @@ def address_in_extract_udf(tags_json: pd.Series, extract: pd.Series) -> pd.Serie
     for t, e in zip(tags_json, extract):
         out.append(address_in_extract(json.loads(t) if t else {}, e or ""))
     return pd.Series(out)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def html_names_udf(article: pd.Series) -> pd.Series:
+    """F7 bold-name extraction as a vectorised stage
+    (wikipedia.py:126-139 semantics, regex reproduction — see text/html.py)."""
+    from ..text.html import html_names
+
+    return article.map(html_names)
+
+
+GET_ALL_MATCHES_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("osm_key", StringType()),
+            StructField("osm_name", StringType()),
+            StructField("entity_name", StringType()),
+            StructField("kind", StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(GET_ALL_MATCHES_SCHEMA)
+def get_all_matches_udf(
+    tags_json: pd.Series, names: pd.Series, endings: pd.Series
+) -> pd.Series:
+    """M3 diagnostic variant (match.py:1080-1107) as a vectorised stage:
+    every matching (osm name, entity name) pair, flat."""
+    from ..kernel.records import get_all_matches
+
+    out = []
+    for t, n, e in zip(tags_json, names, endings):
+        tags = json.loads(t) if t else {}
+        entity_names = {v: None for v in n} if n is not None else {}
+        hits = get_all_matches(tags, entity_names, tuple(e) if e is not None else None)
+        out.append(
+            [
+                {"osm_key": k, "osm_name": o, "entity_name": w, "kind": kind}
+                for k, o, w, kind in hits
+            ]
+        )
+    return pd.Series(out)

@@ -344,3 +344,23 @@ def check_for_match(
                     found[osm_key].append(("prefix", entity_name, sources))
                     break
     return dict(found)
+
+
+def get_all_matches(
+    tags: TagDict,
+    entity_names: Mapping[str, object],
+    endings: Collection[str] | None = None,
+) -> list[tuple[str, str, str, str]]:
+    """M3 diagnostic variant (match.py:1080-1107 semantics): every
+    (record name, entity name) pair that matches, flat — no per-key
+    grouping, no operator strips, no city-ending enrichment, no
+    initials/operator vetoes.  Returns [(osm_key, osm_name, entity_name,
+    kind)] in entity-outer iteration order like the reference."""
+    names = display_names(tags)
+    matches = []
+    for entity_name in entity_names:
+        for osm_key, record_name in names.items():
+            m = match_names(record_name, entity_name, endings)
+            if m:
+                matches.append((osm_key, record_name, entity_name, m.kind))
+    return matches
