@@ -983,6 +983,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "case_id", F.explode(html_names_udf("article")).alias("name")
         )
 
+    def q_within_names(spark, sf):
+        # J5: containment join — names of containing place contexts
+        # (matcher.py:582-599); containment = explicit container key
+        from osm_wikidata_spark.operators.within import within_names
+
+        containers = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("container_id"),
+            F.when(
+                F.col("n_nationkey") % 2 == 0,
+                F.create_map(F.lit("place"), F.lit("region"), F.lit("name"), F.col("n_name")),
+            ).otherwise(
+                F.create_map(F.lit("landuse"), F.lit("grass"), F.lit("name"), F.col("n_name"))
+            ).alias("tags"),
+        )
+        records = _t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("record_id"),
+            F.col("c_nationkey").alias("container_id"),
+        )
+        return within_names(records, containers).select(
+            "record_id", F.array_join("within_names", ",").alias("names")
+        )
+
     def q_geonames_filter(spark, sf):
         # F13: drop auto-imported geonames spring labels (place.py:64,569-572)
         label = F.when(
@@ -1053,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_get_all_matches": q_get_all_matches,
         "q_html_names": q_html_names,
         "q_geonames_filter": q_geonames_filter,
+        "q_within_names": q_within_names,
     }
 
 
@@ -1467,6 +1490,11 @@ def oracle_sql() -> dict[str, str]:
             [(cid, name) for cid, _h, expect in _HTML_CASES for name in expect],
             "case_id, name",
         ),
+        "q_within_names": """
+            SELECT c_custkey AS record_id, n_name AS names
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_nationkey % 2 = 0
+        """,
         "q_geonames_filter": r"""
             SELECT c_custkey, label FROM (
               SELECT c_custkey,

@@ -30,15 +30,36 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.udfs import block_tokens_udf, name_decision_udf
 from ..operators.blocking import build_blocks, salted_pair_join
 from ..operators.components import connected_components
-from ..sources.transcripts import GLOBAL_ENDINGS
+from ..sources.transcripts import ENDING_RULES, GLOBAL_ENDINGS
 from .audit import append_audit, block_skew_metrics, partition_metrics, score_distribution
 from .checkpoint import stage
 
 _MENTION_PATTERN = r'"([^"]+)"'
 
 
+def _derived_endings(tokens: F.Column) -> F.Column:
+    """Per-entity trim endings from the entity's own tokens — the graft
+    analog of the reference's per-item IsA-derived endings
+    (model.py:455-468; mutated per item in matcher.py:641-656).  A small
+    literal map keeps this JVM-side."""
+    if not ENDING_RULES:
+        return F.array().cast("array<string>")
+    rule_map = F.create_map(
+        *[
+            lit
+            for token, endings in sorted(ENDING_RULES.items())
+            for lit in (F.lit(token), F.array(*[F.lit(e) for e in endings]))
+        ]
+    )
+    hits = F.transform(tokens, lambda t: F.element_at(rule_map, t))
+    return F.array_distinct(
+        F.flatten(F.filter(hits, lambda h: h.isNotNull()))
+    )
+
+
 def extract_entities(transcripts: DataFrame) -> DataFrame:
-    """One row per conversation: mention names + blocking tokens.
+    """One row per conversation: mention names + blocking tokens +
+    per-entity trim endings.
 
     Analog of the reference's ``Item.names()`` assembly
     (model.py:703-753) — names come from quoted mentions in turn text.
@@ -55,7 +76,7 @@ def extract_entities(transcripts: DataFrame) -> DataFrame:
     return per_name.groupBy("conv_id").agg(
         F.sort_array(F.collect_set("name")).alias("names"),
         F.array_distinct(F.flatten(F.collect_list("tokens"))).alias("tokens"),
-    )
+    ).withColumn("endings", _derived_endings(F.col("tokens")))
 
 
 def score_pairs(
@@ -74,28 +95,59 @@ def score_pairs(
     less shuffle and no join-back) — the right plan when names are mostly
     unique, where the dedup would be pure overhead; the in-batch memo still
     catches local repeats.
+
+    The trim set per pair = GLOBAL_ENDINGS (or the ``endings`` override)
+    ∪ both sides' per-entity ``endings`` — mirroring the reference's
+    per-item endings derivation (matcher.py:641-656) while keeping the pair
+    decision a pure function of its own row.
     """
-    endings_col = (
-        F.array(*[F.lit(e) for e in (endings or GLOBAL_ENDINGS)])
-        if (endings or GLOBAL_ENDINGS)
-        else F.lit(None).cast("array<string>")
+    global_endings = F.array(*[F.lit(e) for e in (endings or GLOBAL_ENDINGS)])
+    has_entity_endings = "endings" in entities.columns
+    names = entities.select(
+        "conv_id",
+        "names",
+        *(
+            [F.col("endings")]
+            if has_entity_endings
+            else [F.array().cast("array<string>").alias("endings")]
+        ),
     )
-    names = entities.select("conv_id", "names")
     exploded = (
-        pairs.join(names.withColumnRenamed("conv_id", "left_id").withColumnRenamed("names", "left_names"), "left_id")
-        .join(names.withColumnRenamed("conv_id", "right_id").withColumnRenamed("names", "right_names"), "right_id")
+        pairs.join(
+            names.withColumnRenamed("conv_id", "left_id")
+            .withColumnRenamed("names", "left_names")
+            .withColumnRenamed("endings", "left_endings"),
+            "left_id",
+        )
+        .join(
+            names.withColumnRenamed("conv_id", "right_id")
+            .withColumnRenamed("names", "right_names")
+            .withColumnRenamed("endings", "right_endings"),
+            "right_id",
+        )
+        .withColumn(
+            "pair_endings",
+            F.array_sort(
+                F.array_union(
+                    global_endings,
+                    F.array_union("left_endings", "right_endings"),
+                )
+            ),
+        )
         .select(
             "left_id",
             "right_id",
             "block_key",
+            "pair_endings",
             F.explode("left_names").alias("left_name"),
             F.col("right_names"),
         )
         .select(
-            "left_id", "right_id", "block_key", "left_name",
+            "left_id", "right_id", "block_key", "pair_endings", "left_name",
             F.explode("right_names").alias("right_name"),
         )
     )
+    endings_col = F.col("pair_endings")
     # the cascade is asymmetric (record-side-only retries like drop_initials,
     # match.py:688-693) and transcripts have no record/entity sides, so score
     # both directions and accept either
@@ -113,14 +165,20 @@ def score_pairs(
     )
 
     if dedup_names:
+        # pair_endings is part of the decision key: two name pairs with
+        # different derived endings can decide differently
         scored_names = (
-            exploded.select("left_name", "right_name")
+            exploded.select("left_name", "right_name", "pair_endings")
             .distinct()
             .withColumn("fwd", fwd)
             .withColumn("rev", rev)
-            .select("left_name", "right_name", decision.alias("decision"))
+            .select(
+                "left_name", "right_name", "pair_endings", decision.alias("decision")
+            )
         )
-        scored = exploded.join(scored_names, ["left_name", "right_name"])
+        scored = exploded.join(
+            scored_names, ["left_name", "right_name", "pair_endings"]
+        )
     else:
         scored = (
             exploded.withColumn("fwd", fwd)

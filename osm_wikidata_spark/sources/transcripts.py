@@ -63,6 +63,12 @@ VARIANT_GROUPS: list[list[str]] = [
     ["17 Mill Lane"],                                               # :463
     ["1, Mill Lane"],
     ["Livingston"],                                                 # :467
+    # per-entity-endings group: "academy" is NOT in GLOBAL_ENDINGS — the
+    # pair only clusters when the pipeline derives endings per entity
+    # (the reference mutates `endings` per item from IsA types,
+    # matcher.py:641-656; our analog derives them from mention tokens)
+    ["Greenfield Academy", "Greenfield"],
+    ["Riverside Academy"],  # hard negative sharing the 'academy' ending
 ]
 
 # Trim endings shared by the whole transcript domain (per-pair endings are an
@@ -71,6 +77,16 @@ GLOBAL_ENDINGS: list[str] = [
     "church", "church of", "mall", "center", "airport",
     "international airport", "inn", "hall", "post office",
 ]
+
+# Per-entity ending derivation: a token in an entity's mention names
+# contributes type-specific trim endings — the graft analog of the
+# reference's IsA-derived endings (model.py:455-468) and the per-item
+# endings mutation inside the match loop (matcher.py:641-656).
+ENDING_RULES: dict[str, list[str]] = {
+    "academy": ["academy"],
+    "seminary": ["seminary"],
+    "college": ["college"],
+}
 
 _TEMPLATES = [
     'I was reading about "{}" yesterday, can you find details?',

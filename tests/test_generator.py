@@ -12,7 +12,11 @@ import re
 
 from osm_wikidata_spark.functions.udfs import BLOCK_STOPWORDS
 from osm_wikidata_spark.kernel.cascade import match_names
-from osm_wikidata_spark.sources.transcripts import GLOBAL_ENDINGS, VARIANT_GROUPS
+from osm_wikidata_spark.sources.transcripts import (
+    ENDING_RULES,
+    GLOBAL_ENDINGS,
+    VARIANT_GROUPS,
+)
 from osm_wikidata_spark.text.normalize import tidy_name
 
 _SPLIT = re.compile(r"[^0-9a-z]+")
@@ -26,10 +30,19 @@ def _tokens(name: str) -> set[str]:
     }
 
 
+def _pair_endings(a: str, b: str) -> set[str]:
+    """GLOBAL_ENDINGS plus both sides' derived endings — exactly what the
+    pipeline's score_pairs computes per pair."""
+    endings = set(GLOBAL_ENDINGS)
+    for name in (a, b):
+        for token in _tokens(name):
+            endings.update(ENDING_RULES.get(token, ()))
+    return endings
+
+
 def _sym_match(a: str, b: str):
-    return match_names(a, b, set(GLOBAL_ENDINGS)) or match_names(
-        b, a, set(GLOBAL_ENDINGS)
-    )
+    endings = _pair_endings(a, b)
+    return match_names(a, b, endings) or match_names(b, a, endings)
 
 
 def test_intra_group_pairs_match_and_share_block():

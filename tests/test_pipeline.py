@@ -57,6 +57,31 @@ def test_entity_extraction(spark):
         assert r["tokens"]
 
 
+def test_per_entity_endings_cluster(spark):
+    """The Greenfield group only clusters under per-entity derived endings
+    ('academy' is absent from GLOBAL_ENDINGS); the Riverside hard negative
+    must stay separate."""
+    from osm_wikidata_spark.sources.transcripts import VARIANT_GROUPS
+
+    greenfield = VARIANT_GROUPS.index(["Greenfield Academy", "Greenfield"])
+    riverside = VARIANT_GROUPS.index(["Riverside Academy"])
+    # enough conversations that both variants of the group appear
+    transcripts, truth = synth_transcripts(
+        spark, n_conversations=len(VARIANT_GROUPS) * 4, turns_per_conv=3
+    )
+    entities = extract_entities(transcripts)
+    with_academy = entities.filter(F.array_contains("endings", "academy"))
+    assert with_academy.count() > 0  # derivation fired
+
+    out = run_pipeline(spark, transcripts)
+    comp = {r["conv_id"]: r["component"] for r in out["components"].collect()}
+    truth_map = {r["conv_id"]: r["group_id"] for r in truth.collect()}
+    green = {comp[c] for c, g in truth_map.items() if g == greenfield}
+    river = {comp[c] for c, g in truth_map.items() if g == riverside}
+    assert len(green) == 1, "Greenfield group failed to cluster"
+    assert green.isdisjoint(river), "hard negative merged with Greenfield"
+
+
 def test_per_turn_invariant(spark):
     """Per-turn text equality under stable (conv_id, turn_idx) ordering must
     survive a round-trip through the engine's partitioning (input_hint)."""
