@@ -603,6 +603,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # many tables — measured recall 0.95 vs q_embed_topk at sf0.001
         return similarity.lsh_top_k(emb, queries_df, k=5, n_planes=4, n_tables=20)
 
+    def q_dedup_embed(spark, sf):
+        # embedding-cosine near-dup, exact all-pairs baseline
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
+
+    def q_dedup_embed_lsh(spark, sf):
+        # embedding-cosine near-dup via multi-table hyperplane LSH buckets
+        # (the 100-TB path; candidates bucket-join instead of all-pairs).
+        # testdata embeddings are near-random (max cos ~0.51), so few
+        # planes / many tables; recall vs the exact baseline is pinned by
+        # tests/test_operators.py
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        return similarity.cosine_near_dup_pairs_lsh(
+            emb, threshold=0.4, n_planes=3, n_tables=12
+        )
+
     def q_token_count(spark, sf):
         return _t(spark, sf, "documents").select(
             "doc_id", textstats.token_count().alias("n_tokens")
@@ -983,6 +1003,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "case_id", F.explode(html_names_udf("article")).alias("name")
         )
 
+    def q_turn_rate(spark, sf):
+        # event-time windowed aggregate (streaming/windows.py turn_rate;
+        # watermark is a no-op in batch, so the oracle is plain SQL)
+        from osm_wikidata_spark.streaming.windows import turn_rate
+
+        stream_shaped = _t(spark, sf, "events").select(
+            F.col("event_type").alias("role"), F.col("ts")
+        )
+        return turn_rate(stream_shaped, window="1 day")
+
     def q_within_names(spark, sf):
         # J5: containment join — names of containing place contexts
         # (matcher.py:582-599); containment = explicit container key
@@ -1051,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": q_dedup_simhash,
         "q_embed_topk": q_embed_topk,
         "q_embed_lsh_topk": q_embed_lsh_topk,
+        "q_dedup_embed": q_dedup_embed,
+        "q_dedup_embed_lsh": q_dedup_embed_lsh,
         "q_token_count": q_token_count,
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
@@ -1076,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_names": q_html_names,
         "q_geonames_filter": q_geonames_filter,
         "q_within_names": q_within_names,
+        "q_turn_rate": q_turn_rate,
     }
 
 
@@ -1385,6 +1418,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cos FROM ranked WHERE r <= 5
         """,
+        "q_dedup_embed": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        """,
         "q_name_match": _sql_values(
             name_match_expected, "pair_id, matched"
         ),
@@ -1490,6 +1530,11 @@ def oracle_sql() -> dict[str, str]:
             [(cid, name) for cid, _h, expect in _HTML_CASES for name in expect],
             "case_id, name",
         ),
+        "q_turn_rate": """
+            SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                   event_type AS role, count(*) AS n_turns
+            FROM events GROUP BY 1, 2
+        """,
         "q_within_names": """
             SELECT c_custkey AS record_id, n_name AS names
             FROM customer JOIN nation ON c_nationkey = n_nationkey

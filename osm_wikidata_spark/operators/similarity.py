@@ -152,6 +152,75 @@ def lsh_top_k(
     ).select("query_id", "vec_id", F.round("cos", 6).alias("cos"))
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (driver-mandate dedup
+    variant): all (left, right) with cosine ≥ threshold, left < right.
+
+    All-pairs O(N²) — the exact baseline for oracle checks and small N.
+    Use :func:`cosine_near_dup_pairs_lsh` at scale.
+    """
+    left = vectors.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"))
+    right = vectors.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"))
+    return (
+        left.join(right, F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            F.round(cosine(F.col("lv"), F.col("rv")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate embedding-cosine near-dup pairs — the 100-TB path.
+
+    Candidates = pairs sharing a bucket in ANY of ``n_tables`` hyperplane
+    tables (the self-join analog of :func:`lsh_top_k`), verified with the
+    exact cosine.  High-cosine pairs have a small angle, so per-table
+    collision probability (1−θ/π)^n_planes is high precisely for the pairs
+    a dedup cares about — e.g. cos ≥ 0.9 ⇒ θ ≤ 0.451 rad ⇒ p_table ≈ 0.29,
+    union over 8 tables ≈ 0.94 recall.
+    """
+    bucketed = vectors.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            hyperplane_signatures(F.col(vec_col), n_planes, n_tables, seed)
+        ).alias("bucket"),
+    )
+    left = bucketed.select(
+        F.col("doc").alias("left_id"), F.col("v").alias("lv"), "bucket"
+    )
+    right = bucketed.select(
+        F.col("doc").alias("right_id"), F.col("v").alias("rv"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+        .select(
+            "left_id",
+            "right_id",
+            F.round(cosine(F.col("lv"), F.col("rv")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: list[list[float]],

@@ -1,0 +1,98 @@
+"""Event-time streaming operators over transcript streams (SURVEY.md §2.12).
+
+The reference is batch-only; these are the graft's streaming-native
+obligations (driver mandate): a watermarked event-time windowed aggregate
+(late turns beyond the watermark are dropped, state is bounded), and a
+custom stateful per-conversation operator via ``applyInPandasWithState``
+(running turn counter + last event time — the streaming analog of the
+reference's per-item ``done`` progress flags, place.py:1146-1160).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def turn_rate(
+    transcripts: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Turns per (event-time window, role) with a watermark bounding state.
+
+    Works on both a stream (readStream) and a static frame (the watermark
+    is a no-op in batch), so batch≡stream equivalence is testable.
+    """
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("role"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
+CONV_PROGRESS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", IntegerType()),
+        StructField("max_turn_idx", IntegerType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_turns", IntegerType()),
+        StructField("max_turn_idx", IntegerType()),
+    ]
+)
+
+
+def _update_conv_progress(key, pdf_iter, state: GroupState):
+    """Stateful update: accumulate per-conversation turn counts across
+    micro-batches (pandas in, pandas out, Arrow-batched)."""
+    import pandas as pd
+
+    n_turns, max_idx = state.get if state.exists else (0, 0)
+    last_ts = None
+    for pdf in pdf_iter:
+        n_turns += len(pdf)
+        if len(pdf):
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+            ts_max = pdf["ts"].max()
+            last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
+    state.update((n_turns, max_idx))
+    yield pd.DataFrame(
+        {
+            "conv_id": [key[0]],
+            "n_turns": [n_turns],
+            "max_turn_idx": [max_idx],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def conversation_progress(transcripts_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-conversation running progress via
+    ``applyInPandasWithState`` — emits the updated (conv_id, n_turns,
+    max_turn_idx, last_ts) row on every micro-batch that touches the
+    conversation."""
+    return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
+        _update_conv_progress,
+        outputStructType=CONV_PROGRESS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -155,6 +155,58 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
 
 
+def test_cosine_near_dup_exact_and_lsh_recall(spark):
+    """LSH near-dup candidates must recover ≥0.8 of the exact pairs on the
+    driver's (near-random, hardest-case) embeddings; on realistic high-cos
+    near-dups (θ small) recall is far higher by construction."""
+    import os
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in similarity.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["left_id"], r["right_id"])
+        for r in similarity.cosine_near_dup_pairs_lsh(
+            emb, threshold=0.4, n_planes=3, n_tables=12
+        ).collect()
+    }
+    assert exact, "expected non-empty exact near-dup set"
+    assert approx <= exact  # exact verification: no false positives
+    recall = len(approx) / len(exact)
+    assert recall >= 0.8, f"LSH near-dup recall {recall:.3f} < 0.8"
+
+
+def test_cosine_near_dup_planted(spark):
+    """A planted near-identical pair must be found by both variants."""
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in similarity.cosine_near_dup_pairs(vecs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["left_id"], r["right_id"])
+        for r in similarity.cosine_near_dup_pairs_lsh(vecs, threshold=0.9).collect()
+    }
+    assert exact == {(1, 2)}
+    assert lsh == {(1, 2)}
+
+
 def test_ivf_assign(spark):
     vecs = spark.createDataFrame(
         [

@@ -1,0 +1,105 @@
+"""Physical-plan regression tests — the 100-TB discipline checks.
+
+These pin the plan *shapes* that matter at scale: filter/column pushdown
+into the parquet scan, broadcast joins for small dims, Arrow (not
+row-at-a-time) Python evaluation, and anti-join (not exceptAll) vetoes.
+A green result that reads all columns or shuffles a broadcastable dim is a
+regression even if values match.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_filters_and_schema(spark):
+    """S1: predicate AND projection must reach the parquet scan."""
+    import __spark_entry__ as entry
+
+    plan = _formatted_plan(entry.queries()["q_scan_entities"](spark, SF))
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters")[1].split("\n")[0]
+    # column pruning: the scan schema carries only the needed columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "c_custkey" in read_schema and "c_name" in read_schema
+    assert "c_address" not in read_schema and "c_comment" not in read_schema
+
+
+def test_result_assembly_broadcasts_dim(spark):
+    """S10/J7: the nation dim must broadcast, never shuffle."""
+    import __spark_entry__ as entry
+
+    plan = _formatted_plan(entry.queries()["q_result_assembly"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_score_pairs_uses_arrow_eval(spark):
+    """The kernel UDF must run as ArrowEvalPython (vectorised batches), not
+    BatchEvalPython (row pickling)."""
+    from osm_wikidata_spark.plans.pipeline import extract_entities, score_pairs
+    from osm_wikidata_spark.sources.transcripts import synth_transcripts
+
+    transcripts, _ = synth_transcripts(spark, n_conversations=20, turns_per_conv=2)
+    entities = extract_entities(transcripts)
+    pairs = spark.createDataFrame(
+        [("conv-000000", "conv-000001", "k")], "left_id string, right_id string, block_key string"
+    )
+    plan = _formatted_plan(score_pairs(pairs, entities))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_veto_anti_join_shape(spark):
+    """apply_vetoes with id_cols must plan a broadcast + left-anti join."""
+    from osm_wikidata_spark.operators.vetoes import (
+        DEFAULT_VETO_RULES,
+        apply_vetoes,
+        veto_rules_table,
+    )
+
+    pairs = spark.createDataFrame(
+        [("p1", ["amenity=post_office"], ["amenity=place_of_worship"])],
+        "pair_id string, left_attrs array<string>, right_attrs array<string>",
+    )
+    rules = veto_rules_table(spark, DEFAULT_VETO_RULES)
+    plan = _formatted_plan(apply_vetoes(pairs, rules, id_cols=["pair_id"]))
+    assert "LeftAnti" in plan
+
+
+def test_ngram_jaccard_has_no_unfiltered_self_join(spark):
+    """The Jaccard plan must join PREFIX rows (rank-filtered), never the
+    full inverted index against itself."""
+    from osm_wikidata_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id bigint, text string"
+    )
+    plan = _formatted_plan(dedup.ngram_jaccard_pairs(docs))
+    # the prefix filter manifests as a row_number window before the join
+    assert "row_number" in plan
+    assert "Window" in plan
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    from osm_wikidata_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "query_id bigint, query_vec array<double>"
+    )
+    plan = _formatted_plan(similarity.brute_force_top_k(vecs, queries))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -38,6 +38,92 @@ def test_incremental_batches_equal_full_run(spark, tmp_path):
     assert incremental == full_edges
 
 
+def test_turn_rate_stream_equals_batch(spark, tmp_path):
+    """Watermarked event-time window agg: streaming (availableNow) result
+    must equal the same aggregate computed in batch."""
+    from osm_wikidata_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+    from osm_wikidata_spark.streaming.windows import turn_rate
+
+    transcripts, _ = synth_transcripts(spark, n_conversations=40, turns_per_conv=4)
+    src = os.path.join(str(tmp_path), "tr_src")
+    transcripts.write.parquet(src)
+
+    batch = {
+        (r["window_start"], r["role"]): r["n_turns"]
+        for r in turn_rate(spark.read.parquet(src)).collect()
+    }
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    out_dir = os.path.join(str(tmp_path), "tr_out")
+    ckpt = os.path.join(str(tmp_path), "tr_ckpt")
+    q = (
+        turn_rate(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only windows closed by the watermark; every emitted
+    # row must match batch, and re-running with a final empty batch flushes
+    streamed = {
+        (r["window_start"], r["role"]): r["n_turns"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed, "no windows emitted"
+    assert all(batch[k] == v for k, v in streamed.items())
+
+
+def test_conversation_progress_stateful(spark, tmp_path):
+    """applyInPandasWithState accumulates per-conversation counters across
+    micro-batches."""
+    from osm_wikidata_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+    from osm_wikidata_spark.streaming.windows import conversation_progress
+
+    transcripts, _ = synth_transcripts(spark, n_conversations=10, turns_per_conv=5)
+    src = os.path.join(str(tmp_path), "cp_src")
+    # two files → at least two micro-batches with maxFilesPerTrigger=1
+    transcripts.filter(F.col("turn_idx") < 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    transcripts.filter(F.col("turn_idx") >= 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = os.path.join(str(tmp_path), "cp_out")
+    ckpt = os.path.join(str(tmp_path), "cp_ckpt")
+
+    # parquet sink rejects update mode; append each micro-batch's updates
+    def _sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        conversation_progress(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out_dir).collect()
+    # final state per conversation: all 5 turns seen, max idx 4
+    final = {}
+    for r in rows:
+        cur = final.get(r["conv_id"])
+        if cur is None or r["n_turns"] > cur["n_turns"]:
+            final[r["conv_id"]] = r
+    assert len(final) == 10
+    assert all(r["n_turns"] == 5 and r["max_turn_idx"] == 4 for r in final.values())
+
+
 def test_streaming_query_runs(spark, tmp_path):
     transcripts, _ = synth_transcripts(spark, n_conversations=30, turns_per_conv=3)
     src = os.path.join(str(tmp_path), "src")
