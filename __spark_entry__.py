@@ -1003,6 +1003,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "case_id", F.explode(html_names_udf("article")).alias("name")
         )
 
+    def q_final_gate(spark, sf):
+        # G11: upload gate with the reference's exact note strings
+        # (filter_candidates_more, matcher.py:1429-1481)
+        from osm_wikidata_spark.operators import reduce as red
+        from osm_wikidata_spark.operators.resolve import final_gate
+
+        rows = [
+            ("Q1", "node", 11, "A", 5.0, {"name": "A"}, ["amenity=school"], True),
+            ("Q2", "node", 21, "22", 5.0, {"name": "22"}, [], True),
+            ("Q3", "node", 31, "C", 5.0, {"name": "C"}, ["shop=books"], True),
+            ("Q3", "node", 32, "C", 5.0, {"name": "C"}, ["amenity=cafe"], True),
+            ("Q4", "node", 77, "D", 5.0, {"name": "D"}, [], True),
+            ("Q5", "node", 77, "D", 5.0, {"name": "D"}, [], True),
+            ("Q6", "node", 61, "E", 5.0, {"name": "E", "wikidata": "Q6"}, [], True),
+            ("Q7", "node", 71, "F", 5.0, {"name": "F", "addr:housename": "12"}, [], True),
+            ("Q8", "node", 81, "G", 5.0, {"name": "G"}, [], True),
+        ]
+        schema = (
+            "item_id string, osm_type string, osm_id int, name string, dist double,"
+            " tags map<string,string>, matching_tags array<string>, name_match boolean"
+        )
+        cands = spark.createDataFrame(rows, schema)
+        reduced = red.reduce_candidates(cands, building_flag=None, reservoir_flag=None)
+        bad = spark.createDataFrame([("Q8",)], "item_id string")
+        return final_gate(cands, reduced, bad_item_ids=bad).select(
+            "item_id", "osm_id", "note"
+        )
+
     def q_turn_rate(spark, sf):
         # event-time windowed aggregate (streaming/windows.py turn_rate;
         # watermark is a no-op in batch, so the oracle is plain SQL)
@@ -1109,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geonames_filter": q_geonames_filter,
         "q_within_names": q_within_names,
         "q_turn_rate": q_turn_rate,
+        "q_final_gate": q_final_gate,
     }
 
 
@@ -1529,6 +1558,20 @@ def oracle_sql() -> dict[str, str]:
         "q_html_names": _sql_values(
             [(cid, name) for cid, _h, expect in _HTML_CASES for name in expect],
             "case_id, name",
+        ),
+        "q_final_gate": _sql_values(
+            [
+                ("Q1", 11, None),
+                ("Q2", 21, "number as name"),
+                ("Q3", 31, "more than one candidate found"),
+                ("Q3", 32, "more than one candidate found"),
+                ("Q4", 77, "OSM candidate matches multiple Wikidata items"),
+                ("Q5", 77, "OSM candidate matches multiple Wikidata items"),
+                ("Q6", 61, "candidate already tagged"),
+                ("Q7", 71, "number as house name"),
+                ("Q8", 81, "has bad match"),
+            ],
+            "item_id, osm_id, note",
         ),
         "q_turn_rate": """
             SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,

@@ -354,6 +354,44 @@ def embassy_dim_from_names(spark, countries: dict[str, list[str]]) -> DataFrame:
     return spark.createDataFrame(rows, "country_qid string, name_lc string, pattern string")
 
 
+# ----------------------------------------------------------------- F11
+
+
+def osm_is_stolperstein(osm_tags: Column) -> Column:
+    """matcher.py:574-580."""
+    return (F.coalesce(_val(osm_tags, "memorial:type") == "stolperstein", F.lit(False))) | (
+        F.coalesce(_val(osm_tags, "memorial") == "stolperstein", F.lit(False))
+    )
+
+
+def pre_candidate_guards(pairs: DataFrame) -> DataFrame:
+    """F11: the row filters the reference applies BEFORE scoring each
+    candidate (matcher.py:668-683) — townland, stolperstein, historic
+    district.  Adds ``pre_reject`` (null = survives).  The address-node
+    filter (F10) runs at record-scan time, not here, mirroring the
+    reference's ordering."""
+    osm_tags = F.col("osm_tags")
+    item_tags = F.col("item_tags")
+    is_stolperstein_item = F.array_contains(F.col("instanceof"), "Q26703203")
+    pre = (
+        F.when(
+            (F.coalesce(_val(osm_tags, "locality") == "townland", F.lit(False)))
+            & ~F.array_contains(item_tags, "locality=townland"),
+            "townland",
+        )
+        .when(
+            is_a_historic_district_item(F.col("instanceof"), F.col("categories"))
+            & F.map_contains_key(osm_tags, "building"),
+            "historic district",
+        )
+        .when(
+            is_stolperstein_item & ~osm_is_stolperstein(osm_tags),
+            "stolperstein",
+        )
+    )
+    return pairs.withColumn("pre_reject", pre)
+
+
 # ------------------------------------------------- the reject-reason chain
 
 

@@ -73,6 +73,79 @@ def filter_distant(
     )
 
 
+def final_gate(
+    cands: DataFrame,
+    reduced: DataFrame | None = None,
+    bad_item_ids: DataFrame | None = None,
+    ignore_existing: bool = False,
+    group_col: str = "item_id",
+    record_col: str = "osm_id",
+) -> DataFrame:
+    """G11: the reference's upload gate (``filter_candidates_more``,
+    matcher.py:1429-1481) with its exact note strings.
+
+    ``cands`` is the RAW candidate table; ``reduced`` the output of
+    :func:`osm_wikidata_spark.operators.reduce.reduce_candidates` (defaults
+    to ``cands``).  Mirroring the reference, the digit checks and the
+    multi-claim count run over the RAW candidates, the single-candidate
+    check over the REDUCED set.  Returns one row per reduced candidate with
+    a ``note`` column — null on exactly the rows that may upload:
+
+    1. item has a human bad-match report   → 'has bad match'
+    2. any raw candidate housename numeric → 'number as house name'
+    3. any raw candidate name numeric      → 'number as name'
+    4. more than one reduced candidate     → 'more than one candidate found'
+    5. record claimed by several items     → 'OSM candidate matches multiple Wikidata items'
+    6. candidate already tagged            → 'candidate already tagged'
+    """
+    reduced = reduced if reduced is not None else cands
+    tags = F.col("tags")
+    housename_digit = F.coalesce(
+        F.element_at(tags, "addr:housename").rlike(r"^\d+$"), F.lit(False)
+    )
+    name_digit = F.coalesce(F.element_at(tags, "name").rlike(r"^\d+$"), F.lit(False))
+
+    raw_flags = cands.groupBy(group_col).agg(
+        F.max(housename_digit.cast("int")).alias("__any_hn_digit"),
+        F.max(name_digit.cast("int")).alias("__any_name_digit"),
+    )
+    claims = cands.groupBy(record_col).agg(F.count("*").alias("__claims"))
+
+    w = Window.partitionBy(group_col)
+    flagged = (
+        reduced.withColumn("__n", F.count("*").over(w))
+        .join(raw_flags, group_col)
+        .join(claims, record_col)
+    )
+    if bad_item_ids is not None:
+        flagged = flagged.join(
+            F.broadcast(
+                bad_item_ids.select(F.col(group_col)).withColumn("__bad", F.lit(1))
+            ),
+            group_col,
+            "left",
+        )
+    else:
+        flagged = flagged.withColumn("__bad", F.lit(None).cast("int"))
+
+    note = (
+        F.when(F.col("__bad").isNotNull(), "has bad match")
+        .when(F.col("__any_hn_digit") == 1, "number as house name")
+        .when(F.col("__any_name_digit") == 1, "number as name")
+        .when(F.col("__n") > 1, "more than one candidate found")
+        .when(
+            F.col("__claims") > 1, "OSM candidate matches multiple Wikidata items"
+        )
+    )
+    if not ignore_existing:
+        note = note.when(
+            F.map_contains_key(tags, "wikidata"), "candidate already tagged"
+        )
+    return flagged.withColumn("note", note).drop(
+        "__n", "__any_hn_digit", "__any_name_digit", "__bad", "__claims"
+    )
+
+
 def resolve_one_to_one(
     edges: DataFrame,
     entity_col: str = "left_id",

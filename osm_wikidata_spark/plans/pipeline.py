@@ -57,9 +57,23 @@ def _derived_endings(tokens: F.Column) -> F.Column:
     )
 
 
+def _full_name_keys(names: F.Column) -> F.Column:
+    """Secondary blocking channel (J2; the reference's tag-independent
+    nearby-nodes scan, matcher.py:240-251): one block key per exact
+    whitespace-normalised lowercase name.  Full names are far more
+    selective than tokens, so this channel keeps recall for identical-name
+    pairs even when every shared *token* block is hot-capped away."""
+    return F.transform(
+        names,
+        lambda n: F.concat(
+            F.lit("full:"), F.md5(F.regexp_replace(F.lower(F.trim(n)), r"\s+", " "))
+        ),
+    )
+
+
 def extract_entities(transcripts: DataFrame) -> DataFrame:
-    """One row per conversation: mention names + blocking tokens +
-    per-entity trim endings.
+    """One row per conversation: mention names + blocking tokens (token
+    channel ∪ full-name channel) + per-entity trim endings.
 
     Analog of the reference's ``Item.names()`` assembly
     (model.py:703-753) — names come from quoted mentions in turn text.
@@ -73,10 +87,17 @@ def extract_entities(transcripts: DataFrame) -> DataFrame:
     per_name = mentions.dropDuplicates(["conv_id", "name"]).withColumn(
         "tokens", block_tokens_udf("name")
     )
-    return per_name.groupBy("conv_id").agg(
-        F.sort_array(F.collect_set("name")).alias("names"),
-        F.array_distinct(F.flatten(F.collect_list("tokens"))).alias("tokens"),
-    ).withColumn("endings", _derived_endings(F.col("tokens")))
+    return (
+        per_name.groupBy("conv_id")
+        .agg(
+            F.sort_array(F.collect_set("name")).alias("names"),
+            F.array_distinct(F.flatten(F.collect_list("tokens"))).alias("tokens"),
+        )
+        .withColumn("endings", _derived_endings(F.col("tokens")))
+        .withColumn(
+            "tokens", F.array_union("tokens", _full_name_keys(F.col("names")))
+        )
+    )
 
 
 def score_pairs(

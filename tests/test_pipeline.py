@@ -82,6 +82,36 @@ def test_per_entity_endings_cluster(spark):
     assert green.isdisjoint(river), "hard negative merged with Greenfield"
 
 
+def test_secondary_channel_survives_hot_cap(spark):
+    """J2: when every shared TOKEN block is hot-capped away, two
+    conversations with the identical mention must still pair via the
+    full-name channel."""
+    from osm_wikidata_spark.operators.blocking import build_blocks, salted_pair_join
+
+    rows = []
+    # two convs with the exact same mention
+    for conv in ("conv-twin-a", "conv-twin-b"):
+        rows.append((conv, 0, "user", 'About "Riverbank Museum" here.', None, None))
+    # 30 convs sharing the tokens 'riverbank'/'museum' → both token blocks
+    # exceed the cap below, only the full: channel links the twins
+    for i in range(30):
+        rows.append(
+            (f"conv-noise-{i:02d}", 0, "user", f'About "Riverbank Museum {i}" now.', None, None)
+        )
+    transcripts = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    entities = extract_entities(transcripts)
+    blocks = build_blocks(entities, "conv_id", "tokens", max_block_size=10)
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in salted_pair_join(blocks, blocks)
+        .filter(F.col("left_id") < F.col("right_id"))
+        .collect()
+    }
+    assert ("conv-twin-a", "conv-twin-b") in pairs
+
+
 def test_per_turn_invariant(spark):
     """Per-turn text equality under stable (conv_id, turn_idx) ordering must
     survive a round-trip through the engine's partitioning (input_hint)."""

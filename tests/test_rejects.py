@@ -218,6 +218,72 @@ def test_building_only_rejects(spark):
     assert got["stadium-supermarket"] == "stadium shouldn't match supermarket"
 
 
+def test_pre_candidate_guards(spark):
+    rows = [
+        ("townland", {"locality": "townland", "name": "X"}, [], [], [], None,
+         False, None, True, None, []),
+        ("townland-wanted", {"locality": "townland", "name": "X"},
+         ["locality=townland"], [], [], None, False, None, True, None, []),
+        ("stolperstein-item", {"name": "X"}, [], [], ["Q26703203"], None,
+         False, None, True, None, []),
+        ("stolperstein-both", {"memorial": "stolperstein", "name": "X"}, [], [],
+         ["Q26703203"], None, False, None, True, None, []),
+        ("plain", {"name": "X"}, [], [], [], None, False, None, True, None, []),
+    ]
+    df = spark.createDataFrame(rows, PAIR_SCHEMA)
+    got = {
+        r["pair_id"]: r["pre_reject"]
+        for r in rejects.pre_candidate_guards(df).collect()
+    }
+    assert got == {
+        "townland": "townland",
+        "townland-wanted": None,
+        "stolperstein-item": "stolperstein",
+        "stolperstein-both": None,
+        "plain": None,
+    }
+
+
+def test_final_gate(spark):
+    from osm_wikidata_spark.operators import reduce as red
+    from osm_wikidata_spark.operators.resolve import final_gate
+
+    rows = [
+        # clean single candidate → accepted
+        ("Q1", "node", 11, "A", 5.0, {"name": "A"}, ["amenity=school"], True),
+        # number as name (checked over RAW candidates)
+        ("Q2", "node", 21, "22", 5.0, {"name": "22"}, [], True),
+        # two candidates survive reduction
+        ("Q3", "node", 31, "C", 5.0, {"name": "C"}, ["shop=books"], True),
+        ("Q3", "node", 32, "C", 5.0, {"name": "C"}, ["amenity=cafe"], True),
+        # claimed by two items
+        ("Q4", "node", 77, "D", 5.0, {"name": "D"}, [], True),
+        ("Q5", "node", 77, "D", 5.0, {"name": "D"}, [], True),
+        # already tagged
+        ("Q6", "node", 61, "E", 5.0, {"name": "E", "wikidata": "Q6"}, [], True),
+        # digit housename
+        ("Q7", "node", 71, "F", 5.0, {"name": "F", "addr:housename": "12"}, [], True),
+    ]
+    schema = (
+        "item_id string, osm_type string, osm_id bigint, name string, dist double,"
+        " tags map<string,string>, matching_tags array<string>, name_match boolean"
+    )
+    cands = spark.createDataFrame(rows, schema)
+    reduced = red.reduce_candidates(
+        cands, building_flag=None, reservoir_flag=None
+    )
+    bad = spark.createDataFrame([("Q0",)], "item_id string")
+    out = final_gate(cands, reduced, bad_item_ids=bad)
+    notes = {r["item_id"]: r["note"] for r in out.collect()}
+    assert notes["Q1"] is None
+    assert notes["Q2"] == "number as name"
+    assert notes["Q3"] == "more than one candidate found"
+    assert notes["Q4"] == "OSM candidate matches multiple Wikidata items"
+    assert notes["Q5"] == "OSM candidate matches multiple Wikidata items"
+    assert notes["Q6"] == "candidate already tagged"
+    assert notes["Q7"] == "number as house name"
+
+
 def test_embassy_country_mismatch(spark):
     pairs = spark.createDataFrame(
         [
