@@ -35,7 +35,9 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",
+    "q_dedup_simhash",
     "q_embed_topk",
+    "q_embed_lsh_topk",
     "q_token_count",
     "q_quality_score",
     "q_name_match",
@@ -57,6 +59,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+
+    # warm the Python workers + Arrow path once: worker fork/import at 32
+    # cores costs ~10-30 s and would otherwise land on whichever query
+    # first touches a pandas UDF (a per-JVM cost, not a query cost)
+    from pyspark.sql import functions as F
+    from osm_wikidata_spark.functions.udfs import tidy_name_udf
+
+    spark.range(256).select(
+        tidy_name_udf(F.col("id").cast("string"))
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     total = 0.0
