@@ -892,6 +892,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
         )
 
+    def q_media_resize(spark, sf):
+        # multimodal resize plumbing: mapInPandas, schema preserved, fake
+        # md5 kernel is engine-portable → exact DuckDB oracle
+        from osm_wikidata_spark.operators.multimodal import resize_images, synth_media
+
+        return (
+            resize_images(synth_media(spark, 64), 32, 32)
+            .filter(F.col("kind") == "image")
+            .select(
+                "media_id", "width", "height",
+                F.decode("payload", "utf-8").alias("payload_hex"),
+            )
+        )
+
+    def q_frame_sample(spark, sf):
+        # multimodal frame sampling: one video row -> one row per frame
+        from osm_wikidata_spark.operators.multimodal import sample_frames, synth_media
+
+        return sample_frames(synth_media(spark, 64), every_ms=250).select(
+            "media_id", "frame_idx", "ts_ms",
+            F.decode("payload", "utf-8").alias("payload_hex"),
+        )
+
     def q_reduce_candidates(spark, sf):
         # G4+G9/G10+G5/G7/G8/G1: the per-type candidate-reduction family
         # (matcher.py:939-983, 986-992, 1290-1426, 1567-1582) over a fixture
@@ -1138,6 +1161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_within_names": q_within_names,
         "q_turn_rate": q_turn_rate,
         "q_final_gate": q_final_gate,
+        "q_media_resize": q_media_resize,
+        "q_frame_sample": q_frame_sample,
     }
 
 
@@ -1559,6 +1584,18 @@ def oracle_sql() -> dict[str, str]:
             [(cid, name) for cid, _h, expect in _HTML_CASES for name in expect],
             "case_id, name",
         ),
+        "q_media_resize": """
+            SELECT range AS media_id, 32 AS width, 32 AS height,
+                   md5(md5(CAST(range AS VARCHAR)) || ':32x32') AS payload_hex
+            FROM range(64) WHERE range % 3 = 0
+        """,
+        "q_frame_sample": """
+            SELECT r.range AS media_id, CAST(f.range AS INTEGER) AS frame_idx,
+                   CAST(f.range * 250 AS INTEGER) AS ts_ms,
+                   md5(md5(CAST(r.range AS VARCHAR)) || ':frame:' || CAST(f.range AS VARCHAR)) AS payload_hex
+            FROM range(64) r CROSS JOIN range(4) f
+            WHERE r.range % 3 = 2
+        """,
         "q_final_gate": _sql_values(
             [
                 ("Q1", 11, None),

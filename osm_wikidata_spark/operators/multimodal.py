@@ -81,6 +81,74 @@ def _fake_feature(payload: bytes, kind: str) -> list[float]:
     return (folded / 255.0).tolist()
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every image-kind payload (mapInPandas; non-images pass
+    through untouched).
+
+    The pixel kernel is the deterministic fake ``md5(payload ++
+    ':WxH')`` — a real build swaps in PIL's ``Image.resize`` per batch;
+    the Spark contract (schema preserved, metadata width/height updated,
+    Arrow batching) is the tested part.
+    """
+    import hashlib
+
+    suffix = f":{width}x{height}".encode()
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            pdf = pdf.copy()
+            pdf.loc[is_img, "payload"] = [
+                hashlib.md5(bytes(p) + suffix).hexdigest().encode()
+                for p in pdf.loc[is_img, "payload"]
+            ]
+            pdf.loc[is_img, "width"] = width
+            pdf.loc[is_img, "height"] = height
+            yield pdf
+
+    return media.mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Sample frames from video-kind payloads every ``every_ms`` — a
+    one-to-many mapInPandas (the UDTF shape: one video row → one row per
+    sampled frame).
+
+    Frame decode is the deterministic fake ``md5(payload ++ ':frame:i')``;
+    a real build swaps in an ffmpeg/pyav seek per batch.
+    """
+    import hashlib
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["kind"] == "video"]
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
+            for _, row in vids.iterrows():
+                n_frames = max(int(row["duration_ms"]) // every_ms, 1)
+                for i in range(n_frames):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["payload"].append(
+                        hashlib.md5(
+                            bytes(row["payload"]) + f":frame:{i}".encode()
+                        ).hexdigest().encode()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the opaque payload column.
 

@@ -265,6 +265,40 @@ def test_multi_match_veto(spark):
     assert got == {("e3", "r2")}
 
 
+def test_multimodal_resize_and_frames(spark):
+    from osm_wikidata_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 12)
+    resized = resize_images(media, 32, 32)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert len(rows) == 12  # non-images pass through
+    for r in rows.values():
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (32, 32)
+            assert len(r["payload"]) == 32  # md5 hex bytes
+        else:
+            assert (r["width"], r["height"]) == (64, 64)
+
+    frames = sample_frames(media, every_ms=250).collect()
+    vids = [r["media_id"] for r in media.filter("kind = 'video'").collect()]
+    assert len(frames) == len(vids) * 4  # 1000ms / 250ms
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f["media_id"], []).append(f)
+    for mid, fs in by_media.items():
+        assert sorted(x["frame_idx"] for x in fs) == [0, 1, 2, 3]
+        assert {x["ts_ms"] for x in fs} == {0, 250, 500, 750}
+        assert len({bytes(x["payload"]) for x in fs}) == 4  # distinct frames
+
+    # determinism across runs
+    again = sample_frames(synth_media(spark, 12), every_ms=250).collect()
+    assert sorted(map(str, frames)) == sorted(map(str, again))
+
+
 def test_multimodal_features(spark):
     from osm_wikidata_spark.operators.multimodal import extract_features, synth_media
 
