@@ -623,6 +623,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, threshold=0.4, n_planes=3, n_tables=12
         )
 
+    def q_ivf_assign(spark, sf):
+        # IVF cell assignment against a fixed one-hot codebook; with
+        # one-hot centroids argmax(cosine) == argmax(component), which the
+        # oracle reproduces without float-division hazards
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        centroids = [[1.0 if j == k else 0.0 for j in range(64)] for k in range(4)]
+        return similarity.ivf_assign(emb, centroids).select(
+            "vec_id", F.col("cell").cast("int").alias("cell")
+        )
+
     def q_token_count(spark, sf):
         return _t(spark, sf, "documents").select(
             "doc_id", textstats.token_count().alias("n_tokens")
@@ -1134,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_lsh_topk": q_embed_lsh_topk,
         "q_dedup_embed": q_dedup_embed,
         "q_dedup_embed_lsh": q_dedup_embed_lsh,
+        "q_ivf_assign": q_ivf_assign,
         "q_token_count": q_token_count,
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
@@ -1471,6 +1484,15 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, cos FROM ranked WHERE r <= 5
+        """,
+        "q_ivf_assign": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            s AS (
+              SELECT vec_id, [v[1], v[2], v[3], v[4]] AS comp FROM e
+            )
+            SELECT vec_id,
+                   CAST(list_position(comp, list_max(comp)) - 1 AS INTEGER) AS cell
+            FROM s
         """,
         "q_dedup_embed": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
