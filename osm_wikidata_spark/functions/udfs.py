@@ -84,6 +84,44 @@ def name_decision_udf(
     )
 
 
+@F.pandas_udf(DECISION_SCHEMA)
+def pair_decision_udf(
+    left: pd.Series, right: pd.Series, endings: pd.Series, places: pd.Series
+) -> pd.DataFrame:
+    """Symmetric pair decision in ONE UDF call: try (left, right), fall
+    back to (right, left).  The cascade is asymmetric (record-side-only
+    retries like drop_initials, match.py:688-693), so symmetric workloads
+    need both directions — evaluating them inside one call halves the
+    Arrow transfers and Python invocations of two separate UDFs, and the
+    reverse direction short-circuits when the forward one matched."""
+    out_matched, out_kind, out_rule = [], [], []
+    memo: dict[tuple, tuple] = {}
+    for l, r, e, p in zip(left, right, endings, places):
+        e_key = tuple(e) if e is not None else None
+        p_key = tuple(p) if p is not None else None
+        key = (l, r, e_key, p_key)
+        if key in memo:
+            res = memo[key]
+        else:
+            decision = None
+            if l is not None and r is not None:
+                decision = match_names(l, r, endings=e_key, place_names=p_key)
+                if not decision:
+                    decision = match_names(r, l, endings=e_key, place_names=p_key)
+            res = (
+                (True, decision.kind, decision.rule)
+                if decision
+                else (False, None, None)
+            )
+            memo[key] = res
+        out_matched.append(res[0])
+        out_kind.append(res[1])
+        out_rule.append(res[2])
+    return pd.DataFrame(
+        {"matched": out_matched, "kind": out_kind, "rule": out_rule}
+    )
+
+
 PAIR_SCORE_SCHEMA = StructType(
     [
         StructField("matched", BooleanType()),

@@ -27,7 +27,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.udfs import block_tokens_udf, name_decision_udf
+from ..functions.udfs import block_tokens_udf, pair_decision_udf
 from ..operators.blocking import build_blocks, salted_pair_join
 from ..operators.components import connected_components
 from ..sources.transcripts import ENDING_RULES, GLOBAL_ENDINGS
@@ -170,20 +170,11 @@ def score_pairs(
     )
     endings_col = F.col("pair_endings")
     # the cascade is asymmetric (record-side-only retries like drop_initials,
-    # match.py:688-693) and transcripts have no record/entity sides, so score
-    # both directions and accept either
+    # match.py:688-693) and transcripts have no record/entity sides, so the
+    # UDF scores both directions INSIDE one call (pair_decision_udf): one
+    # Arrow round-trip per row, reverse direction short-circuited on match
     no_places = F.lit(None).cast("array<string>")
-    fwd = name_decision_udf("left_name", "right_name", endings_col, no_places)
-    rev = name_decision_udf("right_name", "left_name", endings_col, no_places)
-    decision = F.struct(
-        (F.col("fwd.matched") | F.col("rev.matched")).alias("matched"),
-        F.coalesce(
-            F.when(F.col("fwd.matched"), F.col("fwd.kind")), F.col("rev.kind")
-        ).alias("kind"),
-        F.coalesce(
-            F.when(F.col("fwd.matched"), F.col("fwd.rule")), F.col("rev.rule")
-        ).alias("rule"),
-    )
+    decision = pair_decision_udf("left_name", "right_name", endings_col, no_places)
 
     if dedup_names:
         # pair_endings is part of the decision key: two name pairs with
@@ -191,8 +182,6 @@ def score_pairs(
         scored_names = (
             exploded.select("left_name", "right_name", "pair_endings")
             .distinct()
-            .withColumn("fwd", fwd)
-            .withColumn("rev", rev)
             .select(
                 "left_name", "right_name", "pair_endings", decision.alias("decision")
             )
@@ -201,11 +190,7 @@ def score_pairs(
             scored_names, ["left_name", "right_name", "pair_endings"]
         )
     else:
-        scored = (
-            exploded.withColumn("fwd", fwd)
-            .withColumn("rev", rev)
-            .withColumn("decision", decision)
-        )
+        scored = exploded.withColumn("decision", decision)
     return (
         scored.groupBy("left_id", "right_id")
         .agg(
