@@ -71,9 +71,42 @@ def _full_name_keys(names: F.Column) -> F.Column:
     )
 
 
+def _acronym_keys(names: F.Column) -> F.Column:
+    """Third blocking channel: acronym keys, closing the initials recall
+    gap.  "BAC" and "Baryshnikov Arts Center" share NO token and NO full
+    name, yet the cascade matches them (name-containing-initials,
+    match.py:346-382) — the reference pairs them *spatially*; the graft
+    pairs them by acronym.  A ≥3-word name emits the key of its first
+    letters; a single 3-6-letter word emits itself (the acronym side).
+    Nulls (names fitting neither shape) are filtered out by the caller's
+    array_union/filter."""
+
+    def _key(n):
+        words = F.filter(
+            F.split(F.lower(F.trim(n)), r"[^0-9a-z]+"), lambda w: w != ""
+        )
+        multi = F.concat(
+            F.lit("acro:"),
+            F.array_join(F.transform(words, lambda w: F.substring(w, 1, 1)), ""),
+        )
+        single = F.concat(F.lit("acro:"), F.element_at(words, 1))
+        return (
+            F.when(F.size(words) >= 3, multi)
+            .when(
+                (F.size(words) == 1)
+                & F.length(F.element_at(words, 1)).between(3, 6)
+                & F.element_at(words, 1).rlike("^[a-z]+$"),
+                single,
+            )
+        )
+
+    return F.filter(F.transform(names, _key), lambda k: k.isNotNull())
+
+
 def extract_entities(transcripts: DataFrame) -> DataFrame:
     """One row per conversation: mention names + blocking tokens (token
-    channel ∪ full-name channel) + per-entity trim endings.
+    channel ∪ full-name channel ∪ acronym channel) + per-entity trim
+    endings.
 
     Analog of the reference's ``Item.names()`` assembly
     (model.py:703-753) — names come from quoted mentions in turn text.
@@ -95,7 +128,11 @@ def extract_entities(transcripts: DataFrame) -> DataFrame:
         )
         .withColumn("endings", _derived_endings(F.col("tokens")))
         .withColumn(
-            "tokens", F.array_union("tokens", _full_name_keys(F.col("names")))
+            "tokens",
+            F.array_union(
+                F.array_union("tokens", _full_name_keys(F.col("names"))),
+                _acronym_keys(F.col("names")),
+            ),
         )
     )
 

@@ -69,6 +69,9 @@ VARIANT_GROUPS: list[list[str]] = [
     # matcher.py:641-656; our analog derives them from mention tokens)
     ["Greenfield Academy", "Greenfield"],
     ["Riverside Academy"],  # hard negative sharing the 'academy' ending
+    # acronym-channel group: no shared token, no shared full name — only
+    # the acro: blocking channel pairs these (initials rule, match.py:346-382)
+    ["BAC", "Baryshnikov Arts Center"],                              # :303
 ]
 
 # Trim endings shared by the whole transcript domain (per-pair endings are an

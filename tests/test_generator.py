@@ -30,6 +30,19 @@ def _tokens(name: str) -> set[str]:
     }
 
 
+def _block_keys(name: str) -> set[str]:
+    """All three pipeline blocking channels: tokens, full-name, acronym
+    (mirrors plans/pipeline.py extract_entities)."""
+    keys = set(_tokens(name))
+    keys.add("full:" + " ".join(name.lower().split()))
+    words = [w for w in _SPLIT.split(name.lower().strip()) if w]
+    if len(words) >= 3:
+        keys.add("acro:" + "".join(w[0] for w in words))
+    elif len(words) == 1 and 3 <= len(words[0]) <= 6 and words[0].isalpha():
+        keys.add("acro:" + words[0])
+    return keys
+
+
 def _pair_endings(a: str, b: str) -> set[str]:
     """GLOBAL_ENDINGS plus both sides' derived endings — exactly what the
     pipeline's score_pairs computes per pair."""
@@ -49,7 +62,7 @@ def test_intra_group_pairs_match_and_share_block():
     for group in VARIANT_GROUPS:
         for i, a in enumerate(group):
             for b in group[i + 1:]:
-                assert _tokens(a) & _tokens(b), (a, b)
+                assert _block_keys(a) & _block_keys(b), (a, b)
                 assert _sym_match(a, b), (a, b)
 
 

@@ -159,3 +159,20 @@ def test_audit_written(spark, tmp_path):
     kinds = {r["kind"]: r["pairs"] for r in scores.collect()}
     assert "no_match" in kinds or any(k != "no_match" for k in kinds)
     assert sum(kinds.values()) > 0
+
+
+def test_acronym_channel_clusters_initials_group(spark):
+    """'BAC' and 'Baryshnikov Arts Center' share no token and no full name;
+    only the acro: channel can pair them. End-to-end they must land in one
+    component."""
+    from osm_wikidata_spark.sources.transcripts import VARIANT_GROUPS
+
+    bac = VARIANT_GROUPS.index(["BAC", "Baryshnikov Arts Center"])
+    transcripts, truth = synth_transcripts(
+        spark, n_conversations=len(VARIANT_GROUPS) * 4, turns_per_conv=3
+    )
+    out = run_pipeline(spark, transcripts)
+    comp = {r["conv_id"]: r["component"] for r in out["components"].collect()}
+    truth_map = {r["conv_id"]: r["group_id"] for r in truth.collect()}
+    bac_components = {comp[c] for c, g in truth_map.items() if g == bac}
+    assert len(bac_components) == 1, "initials group failed to cluster"
