@@ -1,0 +1,63 @@
+"""Property-based kernel invariants (hypothesis).
+
+The reference suite is example-based only (SURVEY.md §5); these pin the
+cascade's *algebraic* contracts, which matter for a distributed engine:
+determinism (Spark retries re-run tasks — a nondeterministic kernel breaks
+exactly-once semantics), reflexivity, and the digit guard (the rule that
+keeps "Board 1" off "Board 11", match.py:22,271,347).
+
+Deliberately NOT asserted: tidy_name idempotence — the reference's plural
+strip leaves a trailing space on "... s" inputs (match.py:170-174), so
+tidy∘tidy ≠ tidy by fixture-pinned design.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm_wikidata_spark.kernel.cascade import match_names
+
+_WORD = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=2, max_size=8)
+_NAME = st.builds(" ".join, st.lists(_WORD, min_size=1, max_size=4))
+_ENDINGS = st.one_of(
+    st.none(), st.sets(st.sampled_from(["church", "house", "inn", "services"]), max_size=2)
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_NAME)
+def test_self_match_is_good(name):
+    decision = match_names(name, name)
+    assert decision is not None and decision.kind == "good"
+
+
+@settings(max_examples=300, deadline=None)
+@given(_NAME, _NAME, _ENDINGS)
+def test_deterministic(a, b, endings):
+    e = tuple(sorted(endings)) if endings else None
+    first = match_names(a, b, e)
+    second = match_names(a, b, e)
+    assert first == second
+
+
+@settings(max_examples=300, deadline=None)
+@given(_NAME, st.integers(1, 999), st.integers(1, 999))
+def test_digit_guard(base, x, y):
+    """Names identical except a differing trailing number never match
+    (no endings in play)."""
+    if x == y:
+        return
+    assert match_names(f"{base} {x}", f"{base} {y}") is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(_NAME, _ENDINGS)
+def test_endings_copy_no_cross_call_state(name, endings):
+    """Calling match_names must not mutate the caller's endings collection
+    (the documented per-pair-copy determinism fix, cascade.py header)."""
+    if endings is None:
+        return
+    snapshot = set(endings)
+    match_names(name + " church", name, endings)
+    assert endings == snapshot
