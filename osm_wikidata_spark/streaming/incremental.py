@@ -68,8 +68,21 @@ def incremental_edges_batch(
         all_blocks = new_blocks
         all_entities = new_entities
 
+    # re-apply the hot-key cap against GLOBAL counts: a key under the cap
+    # within every single batch can still accumulate into a mega-block
+    # across batches (state keeps the uncapped index so counts stay true)
+    if max_block_size is not None:
+        sizes = all_blocks.groupBy("block_key").agg(F.count("*").alias("n"))
+        hot = F.broadcast(
+            sizes.filter(F.col("n") > max_block_size).select("block_key")
+        )
+        probe_blocks = new_blocks.join(hot, "block_key", "left_anti")
+        build_blocks_side = all_blocks.join(hot, "block_key", "left_anti")
+    else:
+        probe_blocks, build_blocks_side = new_blocks, all_blocks
+
     # candidate pairs touching at least one NEW conversation
-    pairs = salted_pair_join(new_blocks, all_blocks, salt=salt).filter(
+    pairs = salted_pair_join(probe_blocks, build_blocks_side, salt=salt).filter(
         F.col("left_id") != F.col("right_id")
     )
     pairs = pairs.select(
