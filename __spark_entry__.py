@@ -974,12 +974,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             " tags map<string,string>, matching_tags array<string>, name_match boolean,"
             " is_primarily_building boolean, is_reservoir boolean"
         )
-        cands = spark.createDataFrame(rows, schema)
+        cands = (
+            spark.createDataFrame(rows, schema)
+            # item-side gates like the reference's (matcher.py:913-916)
+            .withColumn("is_farmhouse", F.col("item_id") == "Q9")
+            .withColumn("is_bridge_item", F.col("item_id") == "Q10")
+        )
         out = red.prefer_tag_match_over_building_only_match(cands)
         out = red.reduce_candidates(out)
         out = red.prefer_railway_station(out)
-        out = red.prefer_farmhouse(out)
-        out = red.filter_bridge(out)
+        out = red.prefer_farmhouse(out, farmhouse_flag="is_farmhouse")
+        out = red.filter_bridge(out, bridge_flag="is_bridge_item")
         out = red.filter_distant_exact(out)
         return out.select("item_id", "osm_id")
 

@@ -151,9 +151,12 @@ def ngram_jaccard_pairs(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc").orderBy("df", "shingle")
+    # the 1e-9 guard keeps float noise from overshooting an exactly-integer
+    # t·|S| (e.g. 0.55·20 → 11.000000000000002 → ceil 12 would shorten the
+    # prefix and silently miss pairs sitting exactly at the threshold)
     prefix_len = (
         F.col("set_size")
-        - F.ceil(F.lit(threshold) * F.col("set_size")).cast("int")
+        - F.ceil(F.lit(threshold) * F.col("set_size") - F.lit(1e-9)).cast("int")
         + F.lit(1)
     )
     prefix = (

@@ -198,10 +198,17 @@ def prefer_stop_area_relation(
 _FARMHOUSE_PATTERN = r"^(.*) farm ?house$"  # matcher.py:56 (re.I)
 
 
-def prefer_farmhouse(cands: DataFrame, group_col: str = "item_id") -> DataFrame:
+def prefer_farmhouse(
+    cands: DataFrame,
+    group_col: str = "item_id",
+    farmhouse_flag: str | None = None,
+) -> DataFrame:
     """G7 (matcher.py:965-983): in a 2-candidate group where the longer name
     is "X Farm House" and the shorter is "X" or "X house", keep the
-    farmhouse."""
+    farmhouse.  The reference applies this only to farmhouse items
+    (``item.is_farmhouse()``, matcher.py:913-914); pass ``farmhouse_flag``
+    naming a per-item boolean column to reproduce that gate (null counts as
+    False)."""
     w = Window.partitionBy(group_col)
     order_key = F.struct(F.length("name"), F.col("name"))
     counted = (
@@ -220,6 +227,8 @@ def prefer_farmhouse(cands: DataFrame, group_col: str = "item_id") -> DataFrame:
             | (F.col("__house_name") == F.concat(farm_start, F.lit(" house")))
         )
     )
+    if farmhouse_flag is not None:
+        shrink = shrink & F.coalesce(F.col(farmhouse_flag), F.lit(False))
     keep_farm = F.lower(F.col("name")) == F.col("__farm_name")
     return counted.filter(~shrink | keep_farm).drop(
         "__n", "__n_unnamed", "__house_name", "__farm_name"
@@ -229,10 +238,17 @@ def prefer_farmhouse(cands: DataFrame, group_col: str = "item_id") -> DataFrame:
 # --------------------------------------------------------------- G8
 
 
-def filter_bridge(cands: DataFrame, group_col: str = "item_id") -> DataFrame:
+def filter_bridge(
+    cands: DataFrame,
+    group_col: str = "item_id",
+    bridge_flag: str | None = None,
+) -> DataFrame:
     """G8 (matcher.py:986-992): when a man_made=bridge candidate exists,
     drop candidates that are merely *on* the bridge (bridge=yes without
-    man_made)."""
+    man_made).  The reference applies this only to items expected to be
+    bridges (``'man_made=bridge' in item.tags``, matcher.py:915-916); pass
+    ``bridge_flag`` naming that per-item boolean column to reproduce the
+    gate (null counts as False)."""
     w = Window.partitionBy(group_col)
     has_bridge = F.max(
         (
@@ -244,9 +260,12 @@ def filter_bridge(cands: DataFrame, group_col: str = "item_id") -> DataFrame:
     keep = F.map_contains_key(F.col("tags"), "man_made") | ~F.map_contains_key(
         F.col("tags"), "bridge"
     )
+    drop_applies = F.col("__hb") == 1
+    if bridge_flag is not None:
+        drop_applies = drop_applies & F.coalesce(F.col(bridge_flag), F.lit(False))
     return (
         cands.withColumn("__hb", has_bridge)
-        .filter((F.col("__hb") == 0) | keep)
+        .filter(~drop_applies | keep)
         .drop("__hb")
     )
 
@@ -388,14 +407,17 @@ def reduce_candidates(
     out = filter_station(out, group_col)
     out = filter_churches(out, group_col)
     if building_flag is not None:
-        gated = filter_building(
-            out.filter(F.col(building_flag)), group_col
-        ).unionByName(out.filter(~F.col(building_flag)))
-        out = gated
+        # coalesce: a NULL flag (item absent from the properties dim) means
+        # "not primarily a building" — the rows must pass through, not vanish
+        flag = F.coalesce(F.col(building_flag), F.lit(False))
+        out = filter_building(out.filter(flag), group_col).unionByName(
+            out.filter(~flag)
+        )
     if reservoir_flag is not None:
-        out = filter_reservoir(
-            out.filter(F.col(reservoir_flag)), group_col
-        ).unionByName(out.filter(~F.col(reservoir_flag)))
+        flag = F.coalesce(F.col(reservoir_flag), F.lit(False))
+        out = filter_reservoir(out.filter(flag), group_col).unionByName(
+            out.filter(~flag)
+        )
     return out
 
 

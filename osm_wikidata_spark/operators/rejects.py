@@ -162,10 +162,11 @@ def station_house_too_far(
 
 
 def is_building_only_match(matching_tags: Column) -> Column:
-    """matcher.py:469-472."""
-    return F.forall(
-        matching_tags, lambda t: t.isin("building", "building=yes", "historic:building")
-    )
+    """matcher.py:469-472 — single source of truth in reduce.py so the
+    reject chain and the G4 reducer can never diverge on the tag set."""
+    from .reduce import is_building_only
+
+    return is_building_only(matching_tags)
 
 
 def bad_building_match(

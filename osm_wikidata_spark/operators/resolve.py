@@ -79,7 +79,7 @@ def final_gate(
     bad_item_ids: DataFrame | None = None,
     ignore_existing: bool = False,
     group_col: str = "item_id",
-    record_col: str = "osm_id",
+    record_cols: list[str] | None = None,
 ) -> DataFrame:
     """G11: the reference's upload gate (``filter_candidates_more``,
     matcher.py:1429-1481) with its exact note strings.
@@ -97,7 +97,13 @@ def final_gate(
     4. more than one reduced candidate     → 'more than one candidate found'
     5. record claimed by several items     → 'OSM candidate matches multiple Wikidata items'
     6. candidate already tagged            → 'candidate already tagged'
+
+    ``record_cols`` is the record identity — default ``[osm_type, osm_id]``
+    like the reference's ``osm_count`` key: OSM ids are only unique per
+    type, so counting claims on ``osm_id`` alone would conflate a node and
+    a way that share a numeric id.
     """
+    record_cols = record_cols or ["osm_type", "osm_id"]
     reduced = reduced if reduced is not None else cands
     tags = F.col("tags")
     housename_digit = F.coalesce(
@@ -109,18 +115,20 @@ def final_gate(
         F.max(housename_digit.cast("int")).alias("__any_hn_digit"),
         F.max(name_digit.cast("int")).alias("__any_name_digit"),
     )
-    claims = cands.groupBy(record_col).agg(F.count("*").alias("__claims"))
+    claims = cands.groupBy(record_cols).agg(F.count("*").alias("__claims"))
 
     w = Window.partitionBy(group_col)
     flagged = (
         reduced.withColumn("__n", F.count("*").over(w))
         .join(raw_flags, group_col)
-        .join(claims, record_col)
+        .join(claims, record_cols)
     )
     if bad_item_ids is not None:
         flagged = flagged.join(
             F.broadcast(
-                bad_item_ids.select(F.col(group_col)).withColumn("__bad", F.lit(1))
+                bad_item_ids.select(F.col(group_col))
+                .dropDuplicates([group_col])  # one report per item is enough
+                .withColumn("__bad", F.lit(1))
             ),
             group_col,
             "left",

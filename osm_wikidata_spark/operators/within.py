@@ -66,6 +66,16 @@ def within_names(
         F.col(record_id_col).alias("record_id"),
         F.col(container_fk_col).alias("__container"),
     ).join(ctx, "__container")
+    # self-exclusion (the reference's a.osm_id != b.osm_id guard,
+    # matcher.py:593): when records double as containers, a record must not
+    # contribute its own names; string-cast keeps the comparison legal
+    # across id types, coalesce keeps rows whose comparison is null
+    joined = joined.filter(
+        F.coalesce(
+            F.col("record_id").cast("string") != F.col("__container").cast("string"),
+            F.lit(True),
+        )
+    )
     return joined.groupBy("record_id").agg(
         F.sort_array(F.collect_set("__name")).alias("within_names")
     )

@@ -48,6 +48,9 @@ def incremental_edges_batch(
     """
     blocks_path = os.path.join(state_dir, "blocks")
     entities_path = os.path.join(state_dir, "entities")
+    # a crash mid-_swap can leave the live state parked at <path>_old;
+    # restore it before reading or we'd silently rebuild from empty
+    _recover(blocks_path), _recover(entities_path)
 
     new_entities = extract_entities(batch_transcripts)
     new_blocks = build_blocks(new_entities, "conv_id", "tokens", max_block_size)
@@ -102,16 +105,29 @@ def incremental_edges_batch(
     return edges
 
 
+def _recover(path: str) -> None:
+    """Undo an interrupted :func:`_swap`: if the live dir is missing but
+    the parked ``_old`` generation exists, restore it.  Called before every
+    state read AND at the top of _swap, so no crash point loses state."""
+    old = path + "_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
 def _swap(path: str) -> None:
     """Promote ``<path>_next`` to ``<path>`` crash-safely.
 
     Rename the live dir aside FIRST, then promote, then delete the old
-    generation — a crash between steps leaves either the old state intact or
-    both dirs present (``_old`` is cleaned up on the next call), never an
-    empty state that would silently drop all cross-batch candidate pairs.
+    generation.  Every crash point leaves a recoverable state: before the
+    park, the live dir is intact; between park and promote, the state lives
+    at ``_old`` and :func:`_recover` restores it; after the promote, the
+    new generation is live and ``_old`` is garbage collected on the next
+    call.  Never an empty state that would silently drop all cross-batch
+    candidate pairs.
     """
     import shutil
 
+    _recover(path)
     old = path + "_old"
     if os.path.exists(old):
         shutil.rmtree(old)

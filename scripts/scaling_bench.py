@@ -186,7 +186,7 @@ def main() -> None:
         with open(args.out, "a") as fh:
             fh.write(
                 "\n## Scaling run (pairs-scored/sec, same input, fresh JVMs, min"
-                " of 4 steady-state runs)\n\n"
+                " of 3 steady-state runs)\n\n"
                 "| pairing | pairs | T_N s | T_4N s | raw speedup | raw eff |"
                 " hw ceiling | eff vs ceiling |\n|---|---|---|---|---|---|---|---|\n"
             )

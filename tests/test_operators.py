@@ -54,6 +54,24 @@ def test_simhash(spark):
     assert (4, 5) not in pairs
 
 
+def test_ngram_jaccard_exact_threshold_boundary(spark):
+    """A pair sitting exactly at the threshold must be found: float noise in
+    ceil(t·|S|) once shortened the prefix by one (0.55·20 → 11.0000…02)."""
+    # doc A: 20 shingles; doc B: 11 of them → J = 11/20 = 0.55; single-word
+    # shingles (n=1) give explicit control over the set sizes
+    a_words = [f"tok{i}" for i in range(20)]
+    b_words = a_words[:11]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.55).collect()
+    }
+    assert got == {(1, 2): 0.55}
+
+
 def test_simhash_banding_catches_spread_errors(spark):
     """Pigeonhole regression: 6 errors spread 2+2+1+1 across the old 15-bit
     quarters (offsets 0/15/30/45) left no intact quarter, so 4-band blocking

@@ -124,6 +124,48 @@ def test_prefer_farmhouse(spark):
     assert _kept(out) == [2, 4, 5, 6]
 
 
+def test_prefer_farmhouse_item_gate(spark):
+    """matcher.py:913-914: the rule only fires for farmhouse ITEMS; a null
+    flag (item absent from the dim) counts as not-a-farmhouse."""
+    rows = [
+        ("Q1", "way", 1, "Manor", 10.0, {}, [], True),
+        ("Q1", "way", 2, "Manor Farm House", 10.0, {}, [], True),
+        ("Q2", "way", 3, "Manor", 10.0, {}, [], True),
+        ("Q2", "way", 4, "Manor Farm House", 10.0, {}, [], True),
+    ]
+    cands = _cands(spark, rows).withColumn(
+        "is_farmhouse",
+        F.when(F.col("item_id") == "Q1", True).otherwise(F.lit(None).cast("boolean")),
+    )
+    out = red.prefer_farmhouse(cands, farmhouse_flag="is_farmhouse")
+    assert _kept(out) == [2, 3, 4]  # Q2 (null flag) passes through unchanged
+
+
+def test_filter_bridge_item_gate(spark):
+    rows = [
+        ("Q1", "way", 1, "B", 10.0, {"man_made": "bridge"}, [], True),
+        ("Q1", "way", 2, "B", 10.0, {"bridge": "yes", "highway": "primary"}, [], True),
+    ]
+    cands = _cands(spark, rows).withColumn("is_bridge_item", F.lit(False))
+    out = red.filter_bridge(cands, bridge_flag="is_bridge_item")
+    assert _kept(out) == [1, 2]  # non-bridge item: rule gated off
+
+
+def test_reduce_null_flags_pass_through(spark):
+    """Null building/reservoir flags must not make candidates vanish."""
+    rows = [
+        ("Q1", "way", 1, "B", 10.0, {"building": "yes"}, ["building"], True),
+        ("Q1", "node", 2, "B", 10.0, {"amenity": "bar"}, [], True),
+    ]
+    cands = (
+        _cands(spark, rows)
+        .withColumn("is_primarily_building", F.lit(None).cast("boolean"))
+        .withColumn("is_reservoir", F.lit(None).cast("boolean"))
+    )
+    out = red.reduce_candidates(cands)
+    assert _kept(out) == [1, 2]
+
+
 def test_filter_bridge(spark):
     rows = [
         ("Q1", "way", 1, "B", 10.0, {"man_made": "bridge"}, [], True),

@@ -259,6 +259,9 @@ def test_final_gate(spark):
         # claimed by two items
         ("Q4", "node", 77, "D", 5.0, {"name": "D"}, [], True),
         ("Q5", "node", 77, "D", 5.0, {"name": "D"}, [], True),
+        # same numeric id, DIFFERENT osm_type: distinct records, no conflict
+        ("QA", "node", 99, "H", 5.0, {"name": "H"}, [], True),
+        ("QB", "way", 99, "H2", 5.0, {"name": "H2"}, [], True),
         # already tagged
         ("Q6", "node", 61, "E", 5.0, {"name": "E", "wikidata": "Q6"}, [], True),
         # digit housename
@@ -282,6 +285,9 @@ def test_final_gate(spark):
     assert notes["Q5"] == "OSM candidate matches multiple Wikidata items"
     assert notes["Q6"] == "candidate already tagged"
     assert notes["Q7"] == "number as house name"
+    # claim counting keys on (osm_type, osm_id) like the reference's
+    # osm_count — a node and a way sharing a numeric id don't conflict
+    assert notes["QA"] is None and notes["QB"] is None
 
 
 def test_embassy_country_mismatch(spark):

@@ -124,6 +124,30 @@ def test_conversation_progress_stateful(spark, tmp_path):
     assert all(r["n_turns"] == 5 and r["max_turn_idx"] == 4 for r in final.values())
 
 
+def test_swap_crash_recovery(spark, tmp_path):
+    """State parked at _old by an interrupted swap must be restored, not
+    silently rebuilt from empty."""
+    transcripts, _ = synth_transcripts(spark, n_conversations=20, turns_per_conv=2)
+    state = os.path.join(str(tmp_path), "state")
+    os.makedirs(state, exist_ok=True)
+    incremental_edges_batch(spark, transcripts, state)
+    blocks_path = os.path.join(state, "blocks")
+    n_blocks = spark.read.parquet(blocks_path).count()
+    assert n_blocks > 0
+
+    # simulate a crash between the park and the promote: live dir gone,
+    # previous generation stranded at _old
+    os.rename(blocks_path, blocks_path + "_old")
+
+    more, _ = synth_transcripts(spark, n_conversations=25, turns_per_conv=2)
+    more = more.filter(F.col("conv_id") >= "conv-000020")
+    incremental_edges_batch(spark, more, state)
+    recovered = spark.read.parquet(blocks_path)
+    # old conversations' blocks survived the crash
+    assert recovered.filter(F.col("block_id") < "conv-000020").count() > 0
+    assert not os.path.exists(blocks_path + "_old")
+
+
 def test_streaming_query_runs(spark, tmp_path):
     transcripts, _ = synth_transcripts(spark, n_conversations=30, turns_per_conv=3)
     src = os.path.join(str(tmp_path), "src")
