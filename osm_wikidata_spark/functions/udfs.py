@@ -292,6 +292,29 @@ def address_in_extract_udf(tags_json: pd.Series, extract: pd.Series) -> pd.Serie
     return pd.Series(out)
 
 
+PROPER_NAME_SCHEMA = StructType(
+    [
+        StructField("proper", BooleanType()),
+        StructField("housename_or_operator", BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(PROPER_NAME_SCHEMA)
+def proper_name_flags_udf(match_json: pd.Series) -> pd.DataFrame:
+    """G2 predicates from the serialised M2 match map (the match_json
+    column of pair_score_udf) — feeds reduce.prefer_proper_name_match."""
+    from ..kernel.records import proper_name_match_flags
+
+    proper, fallback = [], []
+    for blob in match_json:
+        found = json.loads(blob) if blob else {}
+        p, f = proper_name_match_flags(found)
+        proper.append(p)
+        fallback.append(f)
+    return pd.DataFrame({"proper": proper, "housename_or_operator": fallback})
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def html_names_udf(article: pd.Series) -> pd.Series:
     """F7 bold-name extraction as a vectorised stage

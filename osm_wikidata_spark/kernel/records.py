@@ -346,6 +346,32 @@ def check_for_match(
     return dict(found)
 
 
+def _image_only_match(entries: list) -> bool:
+    """matcher.py:1505-1506: a key's matches are image-derived only."""
+    if len(entries) != 1:
+        return False
+    sources = entries[0][2]
+    try:
+        return len(sources) == 1 and sources[0][0] == "image"
+    except (TypeError, IndexError):
+        return False
+
+
+def proper_name_match_flags(found: Mapping[str, list]) -> tuple[bool, bool]:
+    """G2 per-candidate predicates (matcher.py:1509-1539) from the M2
+    match map: (has a proper ``name``/``name:*`` match that is not
+    image-only, matched via addr:housename/operator).  The second flag is
+    prefer_proper_name_match's others_ok condition — a candidate that is
+    neither proper nor housename/operator blocks the group shrink."""
+    found = found or {}
+    proper = ("name" in found and not _image_only_match(found["name"])) or any(
+        key.startswith("name:") and not _image_only_match(entries)
+        for key, entries in found.items()
+    )
+    fallback = "addr:housename" in found or "operator" in found
+    return proper, fallback
+
+
 def get_all_matches(
     tags: TagDict,
     entity_names: Mapping[str, object],

@@ -85,6 +85,39 @@ def test_prefer_railway_station(spark):
     assert _kept(out) == [1, 4, 5]
 
 
+def test_prefer_proper_name_match_faithful(spark):
+    """G2 with the reference's exact predicates (matcher.py:1505-1539):
+    a unique proper name match wins over housename/operator-only matches,
+    image-only name matches don't count as proper, and a candidate that is
+    neither blocks the shrink."""
+    from osm_wikidata_spark.functions.udfs import proper_name_flags_udf
+    import json
+
+    def mm(d):
+        return json.dumps(d)
+
+    rows = [
+        # Q1: proper name vs operator-only -> keep 1
+        ("Q1", 1, mm({"name": [["good", "X", [["label", "en"]]]]})),
+        ("Q1", 2, mm({"operator": [["good", "X", [["label", "en"]]]]})),
+        # Q2: image-only name match is NOT proper; other is operator-only →
+        # no proper candidate at all -> unchanged
+        ("Q2", 3, mm({"name": [["good", "X", [["image", None]]]]})),
+        ("Q2", 4, mm({"operator": [["good", "X", [["label", "en"]]]]})),
+        # Q3: other candidate matched on alt_name (neither proper nor
+        # housename/operator) -> blocks the shrink
+        ("Q3", 5, mm({"name": [["good", "X", [["label", "en"]]]]})),
+        ("Q3", 6, mm({"alt_name": [["good", "X", [["label", "en"]]]]})),
+    ]
+    df = spark.createDataFrame(rows, "item_id string, osm_id int, match_json string")
+    flags = df.select(
+        "item_id", "osm_id", proper_name_flags_udf("match_json").alias("f")
+    ).select("item_id", "osm_id", F.col("f.proper").alias("proper"),
+             F.col("f.housename_or_operator").alias("ho"))
+    out = red.prefer_proper_name_match(flags, F.col("proper"), F.col("ho"))
+    assert _kept(out) == [1, 3, 4, 5, 6]
+
+
 # --------------------------------------------------------------- G6
 
 
