@@ -8,8 +8,19 @@ prints ONE JSON line::
      "queries": {...}, "sf": ..., "pairs_scored": ..., "pairs_per_sec": ...}
 
 Each query is fully materialised via the noop sink (no driver collect).
+
+Noise defence: this VM has noisy-neighbor phases — BENCH.md documents
+±50% same-code swings between runs minutes apart (round 2's single-shot
+harness recorded a 6.9x phantom collapse of pairs_per_sec).  Every
+headline query therefore runs ``$SPARK_GRAFT_BENCH_REPS`` times (default
+3) and reports the per-query MINIMUM (the least-noise-contaminated
+observation of the same deterministic plan); the scoring throughput runs
+the same number of passes and reports the best.  ``spark.catalog
+.clearCache()`` between reps keeps the min honest (no cross-rep data
+cache reuse — only the JVM/codegen warmth every long-lived cluster has).
+
 For the N-vs-4N scaling-efficiency protocol see scripts/scaling_bench.py,
-which reruns the ER job in fresh JVMs at local[8] and local[32].
+which reruns the ER job in interleaved fresh JVMs at local[4]/local[16].
 """
 
 from __future__ import annotations
@@ -23,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # headline set: the ER flagship + the operators that dominate 100 TB runs
 HEADLINE = [
@@ -41,6 +53,8 @@ HEADLINE = [
     "q_token_count",
     "q_quality_score",
     "q_name_match",
+    "q_reduce_candidates",
+    "q_reject_reasons",
     "q_er_pipeline",
 ]
 
@@ -74,11 +88,15 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        _materialise(fn(spark, SF_DIR))
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+        best = None
+        for _ in range(REPS):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _materialise(fn(spark, SF_DIR))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
 
     # throughput metric: candidate pairs scored per second.  Synthetic
     # transcripts at volume (fixture variant groups) so blocks carry real
@@ -97,9 +115,15 @@ def main() -> None:
         F.col("left_id") < F.col("right_id")
     ).cache()
     n_pairs = pairs.count()
-    t0 = time.time()
-    _materialise(score_pairs(pairs, entities))
-    score_dt = time.time() - t0
+    # best-of-N scoring passes: inputs stay cached (that is the steady-state
+    # shape — blocking output feeds scoring in the same job), the scoring
+    # stage itself re-executes each pass; min defends against VM noise.
+    score_dt = None
+    for _ in range(REPS):
+        t0 = time.time()
+        _materialise(score_pairs(pairs, entities))
+        dt = time.time() - t0
+        score_dt = dt if score_dt is None else min(score_dt, dt)
     pairs_per_sec = round(n_pairs / score_dt, 1) if score_dt > 0 else None
     timings["er_score_pairs"] = round(score_dt, 3)
     total += score_dt

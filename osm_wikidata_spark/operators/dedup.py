@@ -15,7 +15,36 @@ Scale notes:
 
 from __future__ import annotations
 
+from itertools import combinations
+
 from pyspark.sql import DataFrame, functions as F
+
+
+def cap_buckets(
+    band_keys: DataFrame, key_cols: list[str], max_bucket: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Hot-bucket defence shared by every LSH family here.
+
+    Returns ``(kept, dropped)``: rows of ``band_keys`` whose bucket holds
+    2..max_bucket members, and an audit frame (key_cols..., n) of the
+    oversized buckets that were dropped.  With the cap, a band self-join
+    emits at most ``n_buckets_kept * max_bucket^2 / 2`` candidate rows —
+    linear in corpus size — instead of the quadratic blow-up a degenerate
+    corpus (billions of boilerplate near-identical docs) would cause.
+    Recall loss is confined to members of those degenerate clusters, which
+    exact dedup already collapses; callers persist ``dropped`` to the audit
+    sink (see plans/audit.py) so the loss is observable, never silent.
+    """
+    sizes = band_keys.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    if max_bucket is None:
+        keep = sizes.filter(F.col("n") > 1).select(*key_cols)
+        dropped = sizes.filter(F.lit(False)).select(*key_cols, "n")
+    else:
+        keep = sizes.filter(
+            (F.col("n") > 1) & (F.col("n") <= max_bucket)
+        ).select(*key_cols)
+        dropped = sizes.filter(F.col("n") > max_bucket).select(*key_cols, "n")
+    return band_keys.join(F.broadcast(keep), key_cols), dropped
 
 
 def normalize_text(col: str = "text") -> F.Column:
@@ -103,9 +132,7 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    sizes = band_keys.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-    keep = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select("band", "bucket")
-    kept = band_keys.join(F.broadcast(keep), ["band", "bucket"])
+    kept, _dropped = cap_buckets(band_keys, ["band", "bucket"], max_bucket)
 
     left = kept.select(F.col("doc").alias("left_id"), "band", "bucket")
     right = kept.select(F.col("doc").alias("right_id"), "band", "bucket")
@@ -245,40 +272,79 @@ def _band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
     return bounds
 
 
-def simhash_candidate_pairs(
-    hashed: DataFrame, bits: int, max_hamming: int
-) -> DataFrame:
-    """Band-blocked candidate pairs over a (doc, sim) table with exact
-    Hamming verification.
+def _default_n_bands(bits: int, max_hamming: int) -> int:
+    """Classic pigeonhole (k+1 bands) when single-band keys are already
+    ≥16 bits; otherwise Manku-style k+2 bands keyed on 2-band combos,
+    which widens keys to ``2·bits/(k+2)`` at the cost of C(k+2,2) tables."""
+    if bits // (max_hamming + 1) >= 16:
+        return max_hamming + 1
+    return max_hamming + 2
 
-    Pigeonhole: splitting ``bits`` into ``max_hamming + 1`` bands guarantees
-    a pair within Hamming distance ≤ ``max_hamming`` shares at least one
-    *intact* band (``max_hamming`` errors cannot touch all
-    ``max_hamming + 1`` bands).  Fewer bands — e.g. 4 bands for distance 6 —
-    silently miss pairs whose errors spread 2+2+1+1 across every band.
+
+def simhash_candidate_pairs(
+    hashed: DataFrame,
+    bits: int,
+    max_hamming: int,
+    n_bands: int | None = None,
+    max_bucket: int | None = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """Block-combination candidate pairs over a (doc, sim) table with exact
+    Hamming verification.  Returns ``(pairs, dropped_buckets)``.
+
+    Generalized pigeonhole (Manku, Jain & Das Sarma, WWW'07 §3): split the
+    ``bits``-bit hash into ``m = n_bands`` near-equal blocks and key each
+    doc on every combination of ``t = m − max_hamming`` blocks (C(m, t)
+    tables).  ≤ ``max_hamming`` bit errors touch ≤ ``max_hamming`` blocks,
+    leaving ≥ t blocks intact, so some all-intact combination key collides
+    — full recall for any valid (m, t), and the exact Hamming check below
+    makes the *output* identical regardless of banding.  m = k+1 (t = 1) is
+    the classic scheme; its weakness at corpus scale is key width: 60 bits
+    / 7 bands ≈ 8 bits → ≤512 distinct buckets per band, so bucket
+    population grows ~N/512 and candidates ~N²/512.  The default m = k+2
+    keys on 2-block combos (e.g. 15-bit keys, 32k buckets, 28 tables for
+    bits=60, k=6): ~4× more table rows, ~85× fewer collisions per bucket.
+
+    Capacity with the ``max_bucket`` cap: candidate rows are bounded by
+    ``C(m,t) · N · max_bucket / 2`` — linear in N at any corpus size.
+    Oversized buckets (degenerate boilerplate clusters, which exact dedup
+    already collapses) are dropped and reported in ``dropped_buckets``
+    (q, qv, n) for the audit sink.
     """
-    n_bands = max_hamming + 1
+    if n_bands is None:
+        n_bands = _default_n_bands(bits, max_hamming)
+    t = n_bands - max_hamming
+    if t < 1:
+        raise ValueError(f"n_bands={n_bands} must exceed max_hamming={max_hamming}")
+    bounds = _band_bounds(bits, n_bands)
+
+    def _combo_key(combo: tuple[int, ...]) -> F.Column:
+        key, shift = F.lit(0).cast("long"), 0
+        for b in combo:
+            offset, width = bounds[b]
+            block = F.shiftright("sim", offset).bitwiseAND(F.lit((1 << width) - 1))
+            key = key + F.shiftleft(block, shift)
+            shift += width
+        return key
+
+    combos = list(combinations(range(n_bands), t))
     bands = hashed.select(
         "doc",
         "sim",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("q"),
-                        F.shiftright("sim", offset)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("qv"),
-                    )
-                    for b, (offset, width) in enumerate(_band_bounds(bits, n_bands))
+                    F.struct(F.lit(ci).alias("q"), _combo_key(combo).alias("qv"))
+                    for ci, combo in enumerate(combos)
                 ]
             )
         ).alias("qs"),
     ).select("doc", "sim", F.col("qs.q").alias("q"), F.col("qs.qv").alias("qv"))
-    left = bands.select(
+
+    kept, dropped = cap_buckets(bands, ["q", "qv"], max_bucket)
+    left = kept.select(
         F.col("doc").alias("left_id"), F.col("sim").alias("left_sim"), "q", "qv"
     )
-    right = bands.select(
+    right = kept.select(
         F.col("doc").alias("right_id"), F.col("sim").alias("right_sim"), "q", "qv"
     )
     candidates = (
@@ -287,9 +353,10 @@ def simhash_candidate_pairs(
         .dropDuplicates(["left_id", "right_id"])
     )
     hamming = F.bit_count(F.col("left_sim").bitwiseXOR(F.col("right_sim")))
-    return candidates.select(
+    pairs = candidates.select(
         "left_id", "right_id", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+    return pairs, dropped
 
 
 def simhash_near_dups(
@@ -299,12 +366,18 @@ def simhash_near_dups(
     shingle_n: int = 3,
     max_hamming: int = 6,
     bits: int = 60,
+    n_bands: int | None = None,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """Near-dup pairs whose SimHashes are within ``max_hamming`` bits.
 
-    Candidate generation blocks on ``max_hamming + 1`` contiguous bands of
-    the ``bits``-bit hash (see :func:`simhash_candidate_pairs` for the
-    pigeonhole recall guarantee), then verifies exact Hamming distance.
+    Candidate generation keys on block combinations of the ``bits``-bit
+    hash (see :func:`simhash_candidate_pairs` for the generalized-pigeonhole
+    recall guarantee and the max_bucket linearity bound), then verifies
+    exact Hamming distance.
     """
     hashed = simhash_table(docs, id_col, text_col, shingle_n, bits)
-    return simhash_candidate_pairs(hashed, bits, max_hamming)
+    pairs, _dropped = simhash_candidate_pairs(
+        hashed, bits, max_hamming, n_bands=n_bands, max_bucket=max_bucket
+    )
+    return pairs

@@ -185,6 +185,7 @@ def cosine_near_dup_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """Approximate embedding-cosine near-dup pairs — the 100-TB path.
 
@@ -194,24 +195,36 @@ def cosine_near_dup_pairs_lsh(
     collision probability (1−θ/π)^n_planes is high precisely for the pairs
     a dedup cares about — e.g. cos ≥ 0.9 ⇒ θ ≤ 0.451 rad ⇒ p_table ≈ 0.29,
     union over 8 tables ≈ 0.94 recall.
+
+    Scale shape: the bucket self-join carries COMPACT IDS ONLY — full
+    embedding vectors never ride the candidate shuffle; they are rehydrated
+    by id join after candidate dedup.  Buckets above ``max_bucket`` (the
+    keyspace is only ``n_tables · 2^n_planes``, so a degenerate corpus
+    floods it) are dropped, bounding candidates at
+    ``n_tables · 2^n_planes · max_bucket² / 2`` rows — raise ``n_planes``
+    with corpus size so population per bucket stays under the cap.
     """
+    from .dedup import cap_buckets
+
     bucketed = vectors.select(
         F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("v"),
         F.explode(
             hyperplane_signatures(F.col(vec_col), n_planes, n_tables, seed)
         ).alias("bucket"),
     )
-    left = bucketed.select(
-        F.col("doc").alias("left_id"), F.col("v").alias("lv"), "bucket"
-    )
-    right = bucketed.select(
-        F.col("doc").alias("right_id"), F.col("v").alias("rv"), "bucket"
-    )
-    return (
-        left.join(right, "bucket")
+    kept, _dropped = cap_buckets(bucketed, ["bucket"], max_bucket)
+    candidates = (
+        kept.select(F.col("doc").alias("left_id"), "bucket")
+        .join(kept.select(F.col("doc").alias("right_id"), "bucket"), "bucket")
         .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
+    )
+    lv = vectors.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"))
+    rv = vectors.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"))
+    return (
+        candidates.join(lv, "left_id")
+        .join(rv, "right_id")
         .select(
             "left_id",
             "right_id",

@@ -82,9 +82,58 @@ def test_simhash_banding_catches_spread_errors(spark):
     )
     got = {
         (r["left_id"], r["right_id"]): r["hamming"]
-        for r in dedup.simhash_candidate_pairs(hashed, bits=60, max_hamming=6).collect()
+        for r in dedup.simhash_candidate_pairs(hashed, bits=60, max_hamming=6)[0].collect()
     }
     assert got == {(1, 2): 6}
+
+
+def test_simhash_degenerate_corpus_bounded(spark):
+    """A boilerplate cluster (hundreds of identical docs) must NOT explode
+    the band self-join: oversized buckets are dropped (and audited), while
+    ordinary near-dup pairs outside the cluster are still found."""
+    flood = [
+        (100 + i, "standard boilerplate terms of service apply to this web page content")
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "The quick  brown fox jumps over the lazy dog near the river bank today"),
+        ]
+        + flood,
+        "doc_id bigint, text string",
+    )
+    hashed = dedup.simhash_table(docs)
+    pairs_df, dropped_df = dedup.simhash_candidate_pairs(
+        hashed, bits=60, max_hamming=6, max_bucket=200
+    )
+    pairs = {(r["left_id"], r["right_id"]) for r in pairs_df.collect()}
+    assert (1, 2) in pairs
+    assert not any(left >= 100 for left, _ in pairs), "flood pairs must be capped"
+    dropped = dropped_df.collect()
+    assert dropped and all(r["n"] == 300 for r in dropped), "drops must be audited"
+
+
+def test_embed_lsh_degenerate_corpus_bounded(spark):
+    """Embedding-LSH near-dup: a flood of identical vectors is capped out
+    (exact dedup's job) while a planted distinct near-dup pair survives."""
+    flood = [(100 + i, [0.7, 0.7, 0.1, 0.05]) for i in range(300)]
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 0.1, 0.0, 1.0]),
+            (2, [0.0, 0.1, 0.01, 0.99]),  # near-dup of 1
+        ]
+        + flood,
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in similarity.cosine_near_dup_pairs_lsh(
+            vecs, threshold=0.9, max_bucket=200
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert not any(left >= 100 for left, _ in got), "flood pairs must be capped"
 
 
 def test_ngram_jaccard_prefix_filter_equals_all_pairs(spark):
