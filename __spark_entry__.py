@@ -139,9 +139,12 @@ def _sql_values(rows: list[tuple], cols: str) -> str:
 
 def _REJECT_CASE_ROWS() -> list[tuple]:
     """(pair_id, osm_tags, item_tags, categories, instanceof, dist, idm,
-    adm, nm, detail, matching_tags, expected_reject) — reject strings
-    byte-identical to matcher.py:995-1135."""
-    return [
+    adm, nm, detail, matching_tags, item_names, is_nhle, expected_reject) —
+    reject strings byte-identical to matcher.py:995-1135 for the
+    check_item_candidate chain; the find_item_matches-only guards
+    (matcher.py:724-726, 743-749, 784-797, 824-880) use the reference's
+    inline comment text (they are bare ``continue`` statements there)."""
+    _old = [
         ("finchley",
          {"bus": "yes", "highway": "bus_stop", "name": "Finchley Road Station",
           "public_transport": "platform"},
@@ -196,6 +199,77 @@ def _REJECT_CASE_ROWS() -> list[tuple]:
         ("id-accepted", {"building": "house"}, [], [], ["Q55488"], 80.0, True, None,
          False, None, [], None),
     ]
+    # legacy cases predate the item_names/is_nhle columns: splice defaults in
+    rows = [(*r[:-1], [], False, r[-1]) for r in _old]
+    rows += [
+        # matcher.py:724-726 — seamark:name only matches lighthouses; the
+        # filtered name-match view leaves this pair with no match at all
+        ("seamark-not-lighthouse",
+         {"seamark:name": "Old Beacon"}, [], [], [], None, False, None, True,
+         [("seamark:name", "good")], [], [], False, "no match"),
+        ("seamark-lighthouse",
+         {"seamark:name": "Old Beacon"}, ["man_made=lighthouse"], [], [], None,
+         False, None, True, [("seamark:name", "good")], [], [], False, None),
+        # matcher.py:743-749
+        ("car-sharing",
+         {"amenity": "car_sharing", "name": "X"}, ["building"], [], [], None,
+         False, None, True, [("name", "good")], [], [], False,
+         "Wikidata building shouldn't match car sharing"),
+        # matcher.py:784-785
+        ("parking-garage",
+         {"amenity": "parking", "name": "P"}, [], [], [], None, False, None,
+         True, [("name", "good")], [], [], False,
+         "parking garage in OSM should only match parking Wikidata item"),
+        ("parking-accepted",
+         {"amenity": "parking", "name": "P"}, ["amenity=parking"], [], [], None,
+         False, None, True, [("name", "good")], ["amenity=parking"], [], False,
+         None),
+        # matcher.py:789-797
+        ("cricket-common",
+         {"designation": "common", "name": "Foo Common"}, [], [], [], None,
+         False, None, True, [("name", "good")], ["leisure=park"],
+         ["Foo Cricket Ground"], False,
+         "cricket ground shouldn't match common"),
+        # matcher.py:824-825
+        ("nhle-too-far",
+         {"name": "N"}, [], [], [], 600.0, False, None, True,
+         [("name", "good")], [], [], True,
+         "NHLE items normally have quite precise coordinates"),
+        ("nhle-near",
+         {"name": "N"}, [], [], [], 400.0, False, None, True,
+         [("name", "good")], [], [], True, None),
+        # matcher.py:827-835
+        ("station-ferry",
+         {"amenity": "ferry_terminal", "name": "F"}, ["railway=station"], [],
+         [], None, False, None, True, [("name", "good")], [], [], False,
+         "station shouldn't match ferry terminal"),
+        # matcher.py:837-843
+        ("pow-bridge",
+         {"man_made": "bridge", "name": "B"}, ["amenity=place_of_worship"], [],
+         [], None, False, None, True, [("name", "good")], [], [], False,
+         "place of worship shouldn't match bridge"),
+        # matcher.py:845-856
+        ("apartments-shop",
+         {"shop": "bakery", "name": "A"}, ["building=apartments"], [], [],
+         None, False, True, False, None, [], [], False,
+         "apartment building shouldn't match shop"),
+        # matcher.py:858-866
+        ("studio-shop",
+         {"shop": "music", "name": "S"}, ["studio=audio"], [], [], None,
+         False, True, False, None, [], [], False,
+         "recording studio shouldn't match shop"),
+        # matcher.py:868-874
+        ("statue-museum",
+         {"tourism": "museum", "name": "M"}, ["artwork_type=statue"], [], [],
+         None, False, None, True, [("name", "good")], [], [], False,
+         "statue shouldn't match museum"),
+        # matcher.py:876-880
+        ("memorial-only",
+         {"historic": "memorial", "name": "W"}, [], [], [], None, False, None,
+         True, [("name", "good")], [], [], False,
+         "only memorial should match memorial"),
+    ]
+    return rows
 
 
 # (case_id, tags, names, endings, expected [(osm_key, osm_name, entity_name, kind)])
@@ -1000,7 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             " categories array<string>, instanceof array<string>, dist double,"
             " identifier_match boolean, address_match boolean, name_match boolean,"
             " name_match_detail array<struct<osm_key string, match_type string>>,"
-            " matching_tags array<string>"
+            " matching_tags array<string>, item_names array<string>, is_nhle boolean"
         )
         pairs = spark.createDataFrame([r[:-1] for r in rows], schema)
         return candidate_rejects(pairs).select("pair_id", "reject")

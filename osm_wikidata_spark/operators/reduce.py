@@ -213,7 +213,14 @@ def prefer_farmhouse(
     order_key = F.struct(F.length("name"), F.col("name"))
     counted = (
         cands.withColumn("__n", F.count("*").over(w))
-        .withColumn("__n_unnamed", F.sum(F.col("name").isNull().cast("int")).over(w))
+        .withColumn(
+            "__n_unnamed",
+            # the reference bails on falsy names ('not c.get("name")',
+            # matcher.py:968-970): empty string counts as unnamed too
+            F.sum(
+                (F.col("name").isNull() | (F.col("name") == "")).cast("int")
+            ).over(w),
+        )
         .withColumn("__house_name", F.lower(F.min_by("name", order_key).over(w)))
         .withColumn("__farm_name", F.lower(F.max_by("name", order_key).over(w)))
     )

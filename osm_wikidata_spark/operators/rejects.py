@@ -397,13 +397,31 @@ def pre_candidate_guards(pairs: DataFrame) -> DataFrame:
 
 
 def candidate_rejects(pairs: DataFrame) -> DataFrame:
-    """check_item_candidate (matcher.py:995-1135) as one column expression.
+    """check_item_candidate (matcher.py:995-1135) merged with the residual
+    ``find_item_matches``-only guards (matcher.py:724-726, 743-749, 784-797,
+    824-880) as one column expression.
 
     Adds ``reject`` (null = accepted) with the reference's exact reason
-    strings, evaluated in the reference's order.  The embassy guard lives in
-    :func:`diplomatic_mission_different_country` (it needs dim joins); the
-    reference applies it in find_item_matches (matcher.py:732-735), not in
-    check_item_candidate, so it is likewise separate here.
+    strings where check_item_candidate defines one, and the reference's
+    inline comment text for the find_item_matches-only guards (those are
+    bare ``continue`` statements — the comment is the only prose the
+    reference attaches).  Order follows the reference's shared sequence,
+    with the find_item_matches-only guards at their reference positions.
+
+    Optional columns (guards needing them evaluate false when absent):
+
+        item_names  array<string>  item's names (cricket-ground guard)
+        is_nhle     boolean        item has a P1216 claim (model.py:1116-1118)
+
+    The seamark rule (matcher.py:724-726) *removes* seamark:name entries
+    from the name match when the item is not a lighthouse, so here
+    ``name_match`` / ``name_match_detail`` are re-derived post-filter and
+    the whole chain (including "no match") sees the filtered view.
+
+    The embassy guard lives in :func:`diplomatic_mission_different_country`
+    (it needs dim joins); the reference applies it in find_item_matches
+    (matcher.py:732-735), not in check_item_candidate, so it is likewise
+    separate here.
     """
     osm_tags = F.col("osm_tags")
     item_tags = F.col("item_tags")
@@ -412,8 +430,29 @@ def candidate_rejects(pairs: DataFrame) -> DataFrame:
     dist = F.col("dist")
     idm = F.col("identifier_match")
     adm = F.col("address_match")  # nullable boolean
-    nm = F.col("name_match")
     mt = F.col("matching_tags")
+
+    # seamark:name is only a name match for lighthouses (matcher.py:724-726)
+    raw_detail = F.col("name_match_detail")
+    not_lighthouse = ~F.array_contains(item_tags, "man_made=lighthouse")
+    detail = F.when(
+        raw_detail.isNotNull() & not_lighthouse,
+        F.filter(raw_detail, lambda m: m["osm_key"] != "seamark:name"),
+    ).otherwise(raw_detail)
+    nm = F.when(raw_detail.isNotNull(), F.size(detail) > 0).otherwise(
+        F.col("name_match")
+    )
+
+    item_names = (
+        F.col("item_names")
+        if "item_names" in pairs.columns
+        else F.array().cast("array<string>")
+    )
+    is_nhle = (
+        F.coalesce(F.col("is_nhle"), F.lit(False))
+        if "is_nhle" in pairs.columns
+        else F.lit(False)
+    )
 
     addr_true = F.coalesce(adm, F.lit(False))
     addr_false = adm.isNotNull() & ~adm
@@ -444,6 +483,13 @@ def candidate_rejects(pairs: DataFrame) -> DataFrame:
         )
         .when(addr_false, "OSM and Wikidata addresses differ")
         .when(~(idm | addr_true | nm), "no match")
+        .when(
+            F.array_contains(item_tags, "building")
+            & ~F.array_contains(item_tags, "amenity=car_sharing")
+            & ~F.map_contains_key(osm_tags, "building")
+            & F.array_contains(amenity, "car_sharing"),
+            "Wikidata building shouldn't match car sharing",
+        )
         .when(
             building_only
             & addr_true
@@ -477,15 +523,31 @@ def candidate_rejects(pairs: DataFrame) -> DataFrame:
             "nearby road match",
         )
         .when(
+            F.coalesce(_val(osm_tags, "amenity") == "parking", F.lit(False))
+            & ~F.array_contains(item_tags, "amenity=parking"),
+            "parking garage in OSM should only match parking Wikidata item",
+        )
+        .when(
             is_osm_bus_stop(osm_tags) & ~F.array_contains(instanceof, "Q953806"),
             "nearby match OSM bus stop matching non-bus stop",
+        )
+        .when(
+            F.array_contains(mt, "leisure=park")
+            & F.exists(item_names, lambda n: F.lower(n).contains("cricket"))
+            & (
+                F.coalesce(_val(osm_tags, "designation") == "common", F.lit(False))
+                | F.coalesce(
+                    F.lower(_val(osm_tags, "name")).contains("common"), F.lit(False)
+                )
+            ),
+            "cricket ground shouldn't match common",
         )
         .when(
             nm
             & ~idm
             & ~addr_true
             & building_only
-            & bad_building_match(osm_tags, F.col("name_match_detail"), wd_station),
+            & bad_building_match(osm_tags, detail, wd_station),
             "bad building match",
         )
         .when(
@@ -512,6 +574,62 @@ def candidate_rejects(pairs: DataFrame) -> DataFrame:
             & is_mountain_range_item(instanceof)
             & (dist > 100),
             "mountain range shouldn't match peak",
+        )
+        .when(
+            is_nhle & (dist > 500),
+            "NHLE items normally have quite precise coordinates",
+        )
+        .when(
+            ~idm
+            & F.array_contains(item_tags, "railway=station")
+            & ~F.array_contains(item_tags, "amenity=ferry_terminal")
+            & F.array_contains(amenity, "ferry_terminal")
+            & F.coalesce(_val(osm_tags, "railway") != "station", F.lit(True))
+            & F.coalesce(_val(osm_tags, "building") != "train_station", F.lit(True)),
+            "station shouldn't match ferry terminal",
+        )
+        .when(
+            F.array_contains(item_tags, "amenity=place_of_worship")
+            & ~F.array_contains(item_tags, "man_made=bridge")
+            & F.coalesce(_val(osm_tags, "man_made") == "bridge", F.lit(False))
+            & ~F.array_contains(amenity, "place_of_worship"),
+            "place of worship shouldn't match bridge",
+        )
+        .when(
+            ~nm
+            & addr_true
+            & (
+                F.array_contains(item_tags, "building=apartments")
+                | F.array_contains(item_tags, "building=residential")
+            )
+            & ~F.exists(item_tags, lambda t: t.startswith("shop"))
+            & F.map_contains_key(osm_tags, "shop")
+            & F.coalesce(
+                ~_val(osm_tags, "building").isin("apartments", "residential"),
+                F.lit(True),
+            ),
+            "apartment building shouldn't match shop",
+        )
+        .when(
+            ~nm
+            & addr_true
+            & F.array_contains(item_tags, "studio=audio")
+            & ~F.exists(item_tags, lambda t: t.startswith("shop"))
+            & F.map_contains_key(osm_tags, "shop")
+            & F.coalesce(_val(osm_tags, "studio") != "audio", F.lit(True)),
+            "recording studio shouldn't match shop",
+        )
+        .when(
+            F.array_contains(item_tags, "artwork_type=statue")
+            & ~F.array_contains(item_tags, "tourism=museum")
+            & F.coalesce(_val(osm_tags, "tourism") == "museum", F.lit(False))
+            & F.coalesce(_val(osm_tags, "artwork_type") != "statue", F.lit(True)),
+            "statue shouldn't match museum",
+        )
+        .when(
+            ~F.array_contains(item_tags, "historic=memorial")
+            & F.coalesce(_val(osm_tags, "historic") == "memorial", F.lit(False)),
+            "only memorial should match memorial",
         )
     )
     return pairs.withColumn("reject", reject)

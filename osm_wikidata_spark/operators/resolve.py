@@ -102,14 +102,27 @@ def final_gate(
     like the reference's ``osm_count`` key: OSM ids are only unique per
     type, so counting claims on ``osm_id`` alone would conflate a node and
     a way that share a numeric id.
+
+    Documented divergence: the reference iterates raw candidates and yields
+    whichever digit check hits first PER CANDIDATE (matcher.py:1452-1462),
+    so with one digit-housename candidate and another digit-name candidate
+    the reference's note depends on candidate order; this gate gives
+    'number as house name' deterministic priority.  Both paths still
+    reject — only the note string can differ.  The digit class is
+    ``\\p{Nd}`` (Unicode decimal digits) to match Python ``str.isdigit``
+    on all real OSM values (isdigit additionally accepts superscripts and
+    a few Numeric_Type=Digit code points that do not occur as house
+    numbers).
     """
     record_cols = record_cols or ["osm_type", "osm_id"]
     reduced = reduced if reduced is not None else cands
     tags = F.col("tags")
     housename_digit = F.coalesce(
-        F.element_at(tags, "addr:housename").rlike(r"^\d+$"), F.lit(False)
+        F.element_at(tags, "addr:housename").rlike(r"^\p{Nd}+$"), F.lit(False)
     )
-    name_digit = F.coalesce(F.element_at(tags, "name").rlike(r"^\d+$"), F.lit(False))
+    name_digit = F.coalesce(
+        F.element_at(tags, "name").rlike(r"^\p{Nd}+$"), F.lit(False)
+    )
 
     raw_flags = cands.groupBy(group_col).agg(
         F.max(housename_digit.cast("int")).alias("__any_hn_digit"),

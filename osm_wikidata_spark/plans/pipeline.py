@@ -35,13 +35,16 @@ from .audit import append_audit, block_skew_metrics, partition_metrics, score_di
 from .checkpoint import stage
 
 _MENTION_PATTERN = r'"([^"]+)"'
+_PLACE_PATTERN = "«([^»]+)»"
 
 
 def _derived_endings(tokens: F.Column) -> F.Column:
-    """Per-entity trim endings from the entity's own tokens — the graft
+    """Per-entity trim endings from the entity's own name words — the graft
     analog of the reference's per-item IsA-derived endings
-    (model.py:455-468; mutated per item in matcher.py:641-656).  A small
-    literal map keeps this JVM-side."""
+    (model.py:455-468; mutated per item in matcher.py:641-656).  Fed raw
+    name words, NOT blocking tokens: blocking drops stopwords ("house" is
+    one), but ending derivation must still see them.  A small literal map
+    keeps this JVM-side."""
     if not ENDING_RULES:
         return F.array().cast("array<string>")
     rule_map = F.create_map(
@@ -106,10 +109,14 @@ def _acronym_keys(names: F.Column) -> F.Column:
 def extract_entities(transcripts: DataFrame) -> DataFrame:
     """One row per conversation: mention names + blocking tokens (token
     channel ∪ full-name channel ∪ acronym channel) + per-entity trim
-    endings.
+    endings + place context + hamlet flag.
 
     Analog of the reference's ``Item.names()`` assembly
     (model.py:703-753) — names come from quoted mentions in turn text.
+    ``place_names`` collects «place» context markers (the within-names
+    containment scan analog, matcher.py:582-599); ``is_hamlet`` reads the
+    "kind: hamlet" marker (the instanceof-Q5084 analog the reference gates
+    the house trim on, matcher.py:1036-1046).
     """
     mentions = transcripts.select(
         F.col("conv_id"),
@@ -120,13 +127,40 @@ def extract_entities(transcripts: DataFrame) -> DataFrame:
     per_name = mentions.dropDuplicates(["conv_id", "name"]).withColumn(
         "tokens", block_tokens_udf("name")
     )
+    context = transcripts.groupBy("conv_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.regexp_extract_all("text", F.lit(_PLACE_PATTERN), F.lit(1))
+                    )
+                )
+            )
+        ).alias("place_names"),
+        F.max(F.col("text").contains("kind: hamlet")).alias("is_hamlet"),
+    )
     return (
         per_name.groupBy("conv_id")
         .agg(
             F.sort_array(F.collect_set("name")).alias("names"),
             F.array_distinct(F.flatten(F.collect_list("tokens"))).alias("tokens"),
         )
-        .withColumn("endings", _derived_endings(F.col("tokens")))
+        .withColumn(
+            "endings",
+            _derived_endings(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            "names",
+                            lambda n: F.filter(
+                                F.split(F.lower(n), r"[^0-9a-z]+"),
+                                lambda w: w != "",
+                            ),
+                        )
+                    )
+                )
+            ),
+        )
         .withColumn(
             "tokens",
             F.array_union(
@@ -134,6 +168,7 @@ def extract_entities(transcripts: DataFrame) -> DataFrame:
                 _acronym_keys(F.col("names")),
             ),
         )
+        .join(context, "conv_id")
     )
 
 
@@ -159,75 +194,140 @@ def score_pairs(
     per-item endings derivation (matcher.py:641-656) while keeping the pair
     decision a pure function of its own row.
     """
+    sep = "\x1f"
     global_endings = F.array(*[F.lit(e) for e in (endings or GLOBAL_ENDINGS)])
-    has_entity_endings = "endings" in entities.columns
-    names = entities.select(
+    empty = F.array().cast("array<string>")
+    ent = entities.select(
         "conv_id",
         "names",
-        *(
-            [F.col("endings")]
-            if has_entity_endings
-            else [F.array().cast("array<string>").alias("endings")]
+        (F.col("endings") if "endings" in entities.columns else empty).alias(
+            "endings"
+        ),
+        (
+            F.col("place_names")
+            if "place_names" in entities.columns
+            else empty
+        ).alias("place_names"),
+        (
+            F.coalesce("is_hamlet", F.lit(False))
+            if "is_hamlet" in entities.columns
+            else F.lit(False)
+        ).alias("is_hamlet"),
+    )
+    # Per-ENTITY context fingerprint, computed once per conversation (N
+    # rows), not once per exploded candidate-name row: the pair decision is
+    # a pure function of (left_name, right_name, endings ∪, places ∪,
+    # hamlet ∨), so the two entity fingerprints identify the decision
+    # inputs and NO array work rides the (much larger) pair explosion —
+    # pairs without entity context all share one fingerprint, preserving
+    # the Zipfian memo win.
+    ent = ent.withColumn(
+        "ctx_fp",
+        F.md5(
+            F.concat_ws(
+                sep,
+                F.array_join(F.array_sort("endings"), sep),
+                F.array_join(F.array_sort("place_names"), sep),
+                F.col("is_hamlet").cast("string"),
+            )
         ),
     )
+    # tiny dim: one row per DISTINCT context (≈ |ENDING_RULES| × place sets)
+    ctx_dim = ent.select(
+        "ctx_fp", "endings", "place_names", "is_hamlet"
+    ).dropDuplicates(["ctx_fp"])
+
     exploded = (
         pairs.join(
-            names.withColumnRenamed("conv_id", "left_id")
-            .withColumnRenamed("names", "left_names")
-            .withColumnRenamed("endings", "left_endings"),
+            ent.select(
+                F.col("conv_id").alias("left_id"),
+                F.col("names").alias("left_names"),
+                F.col("ctx_fp").alias("left_fp"),
+            ),
             "left_id",
         )
         .join(
-            names.withColumnRenamed("conv_id", "right_id")
-            .withColumnRenamed("names", "right_names")
-            .withColumnRenamed("endings", "right_endings"),
-            "right_id",
-        )
-        .withColumn(
-            "pair_endings",
-            F.array_sort(
-                F.array_union(
-                    global_endings,
-                    F.array_union("left_endings", "right_endings"),
-                )
+            ent.select(
+                F.col("conv_id").alias("right_id"),
+                F.col("names").alias("right_names"),
+                F.col("ctx_fp").alias("right_fp"),
             ),
+            "right_id",
         )
         .select(
             "left_id",
             "right_id",
             "block_key",
-            "pair_endings",
+            "left_fp",
+            "right_fp",
             F.explode("left_names").alias("left_name"),
             F.col("right_names"),
         )
         .select(
-            "left_id", "right_id", "block_key", "pair_endings", "left_name",
+            "left_id", "right_id", "block_key", "left_fp", "right_fp",
+            "left_name",
             F.explode("right_names").alias("right_name"),
         )
     )
-    endings_col = F.col("pair_endings")
+
+    def _with_context(df: DataFrame) -> DataFrame:
+        """Rehydrate the pair's decision context from the ctx dim and fold
+        it to pair level: trim set = GLOBAL ∪ both sides (matcher.py:641-656),
+        minus "house" when either side is a hamlet (matcher.py:1036-1046);
+        place context = union of both sides' within-context names
+        (matcher.py:714-720's ``place_names | within``), null when empty so
+        the UDF skips the place-strip retry (match.py:708-719)."""
+        out = df.join(
+            ctx_dim.select(
+                F.col("ctx_fp").alias("left_fp"),
+                F.col("endings").alias("le"),
+                F.col("place_names").alias("lp"),
+                F.col("is_hamlet").alias("lh"),
+            ),
+            "left_fp",
+        ).join(
+            ctx_dim.select(
+                F.col("ctx_fp").alias("right_fp"),
+                F.col("endings").alias("re"),
+                F.col("place_names").alias("rp"),
+                F.col("is_hamlet").alias("rh"),
+            ),
+            "right_fp",
+        )
+        pair_endings = F.array_sort(
+            F.array_union(global_endings, F.array_union("le", "re"))
+        )
+        pair_endings = F.when(
+            F.col("lh") | F.col("rh"), F.array_remove(pair_endings, "house")
+        ).otherwise(pair_endings)
+        pair_places = F.when(
+            F.size(F.array_union("lp", "rp")) > 0,
+            F.array_sort(F.array_union("lp", "rp")),
+        )
+        return out.withColumn("pair_endings", pair_endings).withColumn(
+            "pair_places", pair_places
+        )
+
     # the cascade is asymmetric (record-side-only retries like drop_initials,
     # match.py:688-693) and transcripts have no record/entity sides, so the
     # UDF scores both directions INSIDE one call (pair_decision_udf): one
     # Arrow round-trip per row, reverse direction short-circuited on match
-    no_places = F.lit(None).cast("array<string>")
-    decision = pair_decision_udf("left_name", "right_name", endings_col, no_places)
+    decision = pair_decision_udf(
+        "left_name", "right_name", F.col("pair_endings"), F.col("pair_places")
+    )
 
     if dedup_names:
-        # pair_endings is part of the decision key: two name pairs with
-        # different derived endings can decide differently
+        # exact-(name pair, context) dedup before the UDF: the distinct set
+        # is shuffled/joined on four short string columns, and the context
+        # arrays are only materialised on the distinct side
+        key = ["left_name", "right_name", "left_fp", "right_fp"]
         scored_names = (
-            exploded.select("left_name", "right_name", "pair_endings")
-            .distinct()
-            .select(
-                "left_name", "right_name", "pair_endings", decision.alias("decision")
-            )
+            _with_context(exploded.select(*key).dropDuplicates(key))
+            .select(*key, decision.alias("decision"))
         )
-        scored = exploded.join(
-            scored_names, ["left_name", "right_name", "pair_endings"]
-        )
+        scored = exploded.join(scored_names, key)
     else:
-        scored = exploded.withColumn("decision", decision)
+        scored = _with_context(exploded).withColumn("decision", decision)
     return (
         scored.groupBy("left_id", "right_id")
         .agg(

@@ -72,7 +72,32 @@ VARIANT_GROUPS: list[list[str]] = [
     # acronym-channel group: no shared token, no shared full name — only
     # the acro: blocking channel pairs these (initials rule, match.py:346-382)
     ["BAC", "Baryshnikov Arts Center"],                              # :303
+    # place-context group (J5): only clusters via the place-strip retry
+    # (match.py:708-719) fed by within-context names (matcher.py:582-599);
+    # the kernel finds NO match without place_names={"Felbrigg"}
+    ["Felbrigg Village Hall", "Village Hall"],
+    # house-ending group: clusters only via the derived "house" trim ending
+    # (the reference's trim_house=True house trim, matcher.py:1036-1046)
+    ["Oakway House", "Oakway"],
+    # hamlet singletons: hamlets do NOT get the house trim
+    # (matcher.py:1036-1046 discards "house" when item.is_hamlet()) — these
+    # two would wrongly merge if the hamlet gate were missing
+    ["Nutbourne"],
+    ["Nutbourne House"],
 ]
+
+# Conversation-level place context (J5 analog of the reference's
+# get_within_names containment scan, matcher.py:582-599): variant name →
+# place name surfaced in the conversation's tool turns as «place».
+PLACE_CONTEXT: dict[str, str] = {
+    "Felbrigg Village Hall": "Felbrigg",
+    "Village Hall": "Felbrigg",
+}
+
+# Variant names whose conversations are about a hamlet (item-side metadata,
+# the analog of instanceof Q5084 → item.is_hamlet(), model.py; surfaced in
+# tool turns as "kind: hamlet").
+HAMLET_NAMES: set[str] = {"Nutbourne", "Nutbourne House"}
 
 # Trim endings shared by the whole transcript domain (per-pair endings are an
 # OSM-ism; the graft applies one curated set).
@@ -89,6 +114,11 @@ ENDING_RULES: dict[str, list[str]] = {
     "academy": ["academy"],
     "seminary": ["seminary"],
     "college": ["college"],
+    # the reference's check_for_match trims "house" by default
+    # (trim_house=True, matcher.py:1036-1046); the pipeline analog derives
+    # the ending from the entity's own tokens, and the hamlet gate in
+    # score_pairs removes it again for hamlet entities
+    "house": ["house"],
 }
 
 _TEMPLATES = [
@@ -102,14 +132,17 @@ _ROLES = ["user", "assistant", "tool", "assistant"]
 
 
 def variant_dimension(spark: SparkSession) -> DataFrame:
-    """Small broadcastable dim: (group_id, variant_idx, name, n_variants)."""
+    """Small broadcastable dim: (group_id, variant_idx, name, n_variants,
+    place, is_hamlet)."""
     rows = [
-        (g, v, name, len(group))
+        (g, v, name, len(group), PLACE_CONTEXT.get(name), name in HAMLET_NAMES)
         for g, group in enumerate(VARIANT_GROUPS)
         for v, name in enumerate(group)
     ]
     return spark.createDataFrame(
-        rows, "group_id int, variant_idx int, name string, n_variants int"
+        rows,
+        "group_id int, variant_idx int, name string, n_variants int,"
+        " place string, is_hamlet boolean",
     )
 
 
@@ -154,18 +187,32 @@ def synth_transcripts(
         spark.range(turns_per_conv).select(F.col("id").cast("int").alias("turn_idx")),
         how="cross",
     )
+    base_text = F.replace(
+        F.element_at(
+            template_col,
+            (F.pmod(F.xxhash64("conv_n", "turn_idx", F.lit(seed)), F.lit(len(_TEMPLATES))) + 1).cast("int"),
+        ),
+        F.lit("{}"),
+        F.col("name"),
+    )
+    # tool turns carry the conversation's side-channel context: the place
+    # context as «place» (J5 within-names analog) and the entity kind as
+    # "kind: hamlet" (is_hamlet analog) — requires turns_per_conv >= 3
+    is_tool_turn = F.pmod(F.col("turn_idx"), F.lit(len(_ROLES))) == 2
+    context_suffix = F.concat(
+        F.when(
+            is_tool_turn & F.col("place").isNotNull(),
+            F.concat(F.lit(" near «"), F.col("place"), F.lit("»")),
+        ).otherwise(F.lit("")),
+        F.when(is_tool_turn & F.col("is_hamlet"), F.lit(" kind: hamlet")).otherwise(
+            F.lit("")
+        ),
+    )
     transcripts = turns.select(
         "conv_id",
         "turn_idx",
         F.element_at(role_col, F.pmod(F.col("turn_idx"), F.lit(len(_ROLES))) + 1).alias("role"),
-        F.replace(
-            F.element_at(
-                template_col,
-                (F.pmod(F.xxhash64("conv_n", "turn_idx", F.lit(seed)), F.lit(len(_TEMPLATES))) + 1).cast("int"),
-            ),
-            F.lit("{}"),
-            F.col("name"),
-        ).alias("text"),
+        F.concat(base_text, context_suffix).alias("text"),
         F.when(
             F.pmod(F.col("turn_idx"), F.lit(len(_ROLES))) == 2, F.lit("registry_search")
         ).alias("tool"),

@@ -14,7 +14,21 @@ Each micro-batch:
 1. builds entities/blocks for the batch's conversations,
 2. joins batch blocks against the persisted block index (old ∪ new),
 3. scores only the new candidate pairs,
-4. appends new blocks + edges to the persisted state tables.
+4. commits new blocks + entities as a fresh state GENERATION.
+
+State layout (object-store-safe — no directory renames)::
+
+    <state_dir>/MANIFEST            tiny pointer file naming the live gen
+    <state_dir>/gen-000001/blocks   immutable generation directories
+    <state_dir>/gen-000001/entities
+
+A generation directory is written in full, then the manifest is atomically
+replaced to point at it.  On a POSIX filesystem the replace is
+``os.replace`` (atomic rename of a FILE); on an object store the
+equivalent is a single-object PUT, which is atomic on S3/GCS — unlike the
+directory-rename dance this replaces, which has no object-store analog.
+Every crash point is safe: an unreferenced generation directory is
+invisible garbage; the manifest always names a fully-written generation.
 
 Checkpointing is Spark's own streaming checkpoint (exactly-once per batch
 given deterministic transforms).
@@ -23,6 +37,8 @@ given deterministic transforms).
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -33,6 +49,62 @@ TRANSCRIPT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
 )
 
+_MANIFEST = "MANIFEST"
+_GEN_RE = re.compile(r"^gen-(\d{6})$")
+
+
+def current_generation(state_dir: str) -> str | None:
+    """Name of the live generation (``gen-NNNNNN``) or None if no state."""
+    manifest = os.path.join(state_dir, _MANIFEST)
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest, "r", encoding="ascii") as fh:
+        gen = fh.read().strip()
+    return gen or None
+
+
+def state_paths(state_dir: str) -> tuple[str, str] | None:
+    """(blocks_path, entities_path) of the live generation, or None."""
+    gen = current_generation(state_dir)
+    if gen is None:
+        return None
+    gen_dir = os.path.join(state_dir, gen)
+    return os.path.join(gen_dir, "blocks"), os.path.join(gen_dir, "entities")
+
+
+def _next_generation(state_dir: str) -> str:
+    """First generation name greater than every existing gen dir — so an
+    orphaned directory from a crashed commit is never re-used."""
+    highest = 0
+    if os.path.isdir(state_dir):
+        for name in os.listdir(state_dir):
+            m = _GEN_RE.match(name)
+            if m:
+                highest = max(highest, int(m.group(1)))
+    return f"gen-{highest + 1:06d}"
+
+
+def _commit_generation(state_dir: str, gen: str, keep: int = 2) -> None:
+    """Atomically repoint the manifest at ``gen``, then GC old generations.
+
+    The write is tmp-file + ``os.replace`` (atomic on POSIX); an
+    object-store port does a single PUT of the manifest object instead.
+    The last ``keep`` generations are retained so lazy plans referencing
+    the previous generation's files keep working across one commit.
+    """
+    manifest = os.path.join(state_dir, _MANIFEST)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w", encoding="ascii") as fh:
+        fh.write(gen + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, manifest)
+    current = int(_GEN_RE.match(gen).group(1))
+    for name in os.listdir(state_dir):
+        m = _GEN_RE.match(name)
+        if m and int(m.group(1)) <= current - keep:
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
 
 def incremental_edges_batch(
     spark: SparkSession,
@@ -41,22 +113,17 @@ def incremental_edges_batch(
     max_block_size: int | None = 1000,
     salt: int = 8,
 ) -> DataFrame:
-    """Process one micro-batch: return new edges, update persisted state.
-
-    State layout: ``<state_dir>/blocks`` (block index so far) and
-    ``<state_dir>/entities`` (names per conversation so far).
-    """
-    blocks_path = os.path.join(state_dir, "blocks")
-    entities_path = os.path.join(state_dir, "entities")
-    # a crash mid-_swap can leave the live state parked at <path>_old;
-    # restore it before reading or we'd silently rebuild from empty
-    _recover(blocks_path), _recover(entities_path)
-
+    """Process one micro-batch: return new edges, commit a new state gen."""
     new_entities = extract_entities(batch_transcripts)
-    new_blocks = build_blocks(new_entities, "conv_id", "tokens", max_block_size)
+    # state keeps the UNCAPPED index: a key hot within one batch must still
+    # contribute its full membership to the global counts, or the global
+    # re-cap below would undercount it and re-admit a mega-block with
+    # missing members.  Capping happens ONLY at the global level.
+    new_blocks = build_blocks(new_entities, "conv_id", "tokens", max_block_size=None)
 
-    have_state = os.path.exists(os.path.join(blocks_path, "_SUCCESS"))
-    if have_state:
+    live = state_paths(state_dir)
+    if live is not None:
+        blocks_path, entities_path = live
         old_blocks = spark.read.parquet(blocks_path)
         old_entities = spark.read.parquet(entities_path)
         # dedupe on identity: a retried micro-batch re-unions its rows, and
@@ -71,9 +138,8 @@ def incremental_edges_batch(
         all_blocks = new_blocks
         all_entities = new_entities
 
-    # re-apply the hot-key cap against GLOBAL counts: a key under the cap
-    # within every single batch can still accumulate into a mega-block
-    # across batches (state keeps the uncapped index so counts stay true)
+    # hot-key cap against GLOBAL counts: a key under the cap within every
+    # single batch can still accumulate into a mega-block across batches
     if max_block_size is not None:
         sizes = all_blocks.groupBy("block_key").agg(F.count("*").alias("n"))
         hot = F.broadcast(
@@ -94,48 +160,16 @@ def incremental_edges_batch(
         "block_key",
     ).dropDuplicates(["left_id", "right_id"])
 
-    # materialise edges BEFORE the state swap: the lazy plan references the
-    # old state files, which the swap deletes
+    # materialise edges BEFORE the commit: generation GC (keep=2) protects
+    # one commit's worth of lazy reads, but eager is simpler to reason about
     edges = score_pairs(pairs, all_entities).localCheckpoint(eager=True)
 
-    # persist updated state (idempotent per batch id when used in foreachBatch)
-    all_blocks.write.mode("overwrite").parquet(blocks_path + "_next")
-    all_entities.write.mode("overwrite").parquet(entities_path + "_next")
-    _swap(blocks_path), _swap(entities_path)
+    gen = _next_generation(state_dir)
+    gen_dir = os.path.join(state_dir, gen)
+    all_blocks.write.mode("overwrite").parquet(os.path.join(gen_dir, "blocks"))
+    all_entities.write.mode("overwrite").parquet(os.path.join(gen_dir, "entities"))
+    _commit_generation(state_dir, gen)
     return edges
-
-
-def _recover(path: str) -> None:
-    """Undo an interrupted :func:`_swap`: if the live dir is missing but
-    the parked ``_old`` generation exists, restore it.  Called before every
-    state read AND at the top of _swap, so no crash point loses state."""
-    old = path + "_old"
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
-
-
-def _swap(path: str) -> None:
-    """Promote ``<path>_next`` to ``<path>`` crash-safely.
-
-    Rename the live dir aside FIRST, then promote, then delete the old
-    generation.  Every crash point leaves a recoverable state: before the
-    park, the live dir is intact; between park and promote, the state lives
-    at ``_old`` and :func:`_recover` restores it; after the promote, the
-    new generation is live and ``_old`` is garbage collected on the next
-    call.  Never an empty state that would silently drop all cross-batch
-    candidate pairs.
-    """
-    import shutil
-
-    _recover(path)
-    old = path + "_old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(path + "_next", path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
 
 
 def stream_transcripts(

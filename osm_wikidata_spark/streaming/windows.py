@@ -56,6 +56,10 @@ _STATE_SCHEMA = StructType(
     [
         StructField("n_turns", IntegerType()),
         StructField("max_turn_idx", IntegerType()),
+        # persisted so "last event time" is monotone across micro-batches:
+        # a later batch holding only out-of-order OLDER turns must not make
+        # the emitted last_ts regress below a previously reported value
+        StructField("last_ts", TimestampType()),
     ]
 )
 
@@ -65,15 +69,14 @@ def _update_conv_progress(key, pdf_iter, state: GroupState):
     micro-batches (pandas in, pandas out, Arrow-batched)."""
     import pandas as pd
 
-    n_turns, max_idx = state.get if state.exists else (0, 0)
-    last_ts = None
+    n_turns, max_idx, last_ts = state.get if state.exists else (0, 0, None)
     for pdf in pdf_iter:
         n_turns += len(pdf)
         if len(pdf):
             max_idx = max(max_idx, int(pdf["turn_idx"].max()))
             ts_max = pdf["ts"].max()
             last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
-    state.update((n_turns, max_idx))
+    state.update((n_turns, max_idx, last_ts))
     yield pd.DataFrame(
         {
             "conv_id": [key[0]],

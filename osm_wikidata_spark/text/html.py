@@ -26,4 +26,7 @@ def html_names(article: str | None) -> list[str]:
         return []
     cleaned = _RE_EXCLUDED_REGION.sub(" ", article)
     names = [_RE_TAG.sub("", m) for m in _RE_BOLD.findall(cleaned)]
+    # the length filter is deliberately PRE-strip, exactly like the
+    # reference's `if len(n) > 1` guard (wikipedia.py:139): "<b> x </b>"
+    # passes the filter and yields "x" there, so it must here too
     return [n.strip() for n in names if len(n) > 1]

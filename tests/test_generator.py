@@ -15,6 +15,8 @@ from osm_wikidata_spark.kernel.cascade import match_names
 from osm_wikidata_spark.sources.transcripts import (
     ENDING_RULES,
     GLOBAL_ENDINGS,
+    HAMLET_NAMES,
+    PLACE_CONTEXT,
     VARIANT_GROUPS,
 )
 from osm_wikidata_spark.text.normalize import tidy_name
@@ -44,18 +46,27 @@ def _block_keys(name: str) -> set[str]:
 
 
 def _pair_endings(a: str, b: str) -> set[str]:
-    """GLOBAL_ENDINGS plus both sides' derived endings — exactly what the
-    pipeline's score_pairs computes per pair."""
+    """GLOBAL_ENDINGS plus both sides' derived endings, minus "house" when
+    either side is a hamlet — exactly what the pipeline's score_pairs
+    computes per pair (matcher.py:1036-1046's trim_house gate)."""
     endings = set(GLOBAL_ENDINGS)
     for name in (a, b):
-        for token in _tokens(name):
-            endings.update(ENDING_RULES.get(token, ()))
+        # raw name words, not blocking tokens: stopwords ("house") still
+        # drive ending derivation (mirrors extract_entities)
+        for word in _SPLIT.split(name.lower()):
+            if word:
+                endings.update(ENDING_RULES.get(word, ()))
+    if a in HAMLET_NAMES or b in HAMLET_NAMES:
+        endings.discard("house")
     return endings
 
 
 def _sym_match(a: str, b: str):
     endings = _pair_endings(a, b)
-    return match_names(a, b, endings) or match_names(b, a, endings)
+    places = {p for n in (a, b) if (p := PLACE_CONTEXT.get(n))} or None
+    return match_names(a, b, endings, places) or match_names(
+        b, a, endings, places
+    )
 
 
 def test_intra_group_pairs_match_and_share_block():

@@ -124,28 +124,62 @@ def test_conversation_progress_stateful(spark, tmp_path):
     assert all(r["n_turns"] == 5 and r["max_turn_idx"] == 4 for r in final.values())
 
 
-def test_swap_crash_recovery(spark, tmp_path):
-    """State parked at _old by an interrupted swap must be restored, not
-    silently rebuilt from empty."""
+def test_uncommitted_generation_recovery(spark, tmp_path):
+    """A crash after the generation write but before the manifest commit
+    leaves an orphaned gen dir: the manifest must keep naming the previous
+    (complete) generation, the orphan must never be read or re-used, and
+    the next batch must build on the pre-crash state."""
+    import shutil
+
+    from osm_wikidata_spark.streaming.incremental import (
+        current_generation,
+        state_paths,
+    )
+
     transcripts, _ = synth_transcripts(spark, n_conversations=20, turns_per_conv=2)
     state = os.path.join(str(tmp_path), "state")
     os.makedirs(state, exist_ok=True)
     incremental_edges_batch(spark, transcripts, state)
-    blocks_path = os.path.join(state, "blocks")
-    n_blocks = spark.read.parquet(blocks_path).count()
-    assert n_blocks > 0
+    gen1 = current_generation(state)
+    blocks_path, _ = state_paths(state)
+    assert spark.read.parquet(blocks_path).count() > 0
 
-    # simulate a crash between the park and the promote: live dir gone,
-    # previous generation stranded at _old
-    os.rename(blocks_path, blocks_path + "_old")
+    # simulate the crash: a fully-written next generation whose manifest
+    # commit never happened (here: a bogus, possibly-partial dir)
+    orphan = os.path.join(state, "gen-000009")
+    os.makedirs(os.path.join(orphan, "blocks"), exist_ok=True)
+    assert current_generation(state) == gen1  # manifest untouched by crash
 
     more, _ = synth_transcripts(spark, n_conversations=25, turns_per_conv=2)
     more = more.filter(F.col("conv_id") >= "conv-000020")
     incremental_edges_batch(spark, more, state)
-    recovered = spark.read.parquet(blocks_path)
+    gen2 = current_generation(state)
+    assert gen2 not in (gen1, "gen-000009")  # orphan never re-used
+    assert int(gen2.split("-")[1]) > 9
+    recovered = spark.read.parquet(state_paths(state)[0])
     # old conversations' blocks survived the crash
     assert recovered.filter(F.col("block_id") < "conv-000020").count() > 0
-    assert not os.path.exists(blocks_path + "_old")
+    shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_generation_gc_keeps_last_two(spark, tmp_path):
+    """Each commit GCs all but the last two generations (the previous one
+    survives so a lazy plan spanning one commit still resolves)."""
+    from osm_wikidata_spark.streaming.incremental import current_generation
+
+    transcripts, _ = synth_transcripts(spark, n_conversations=30, turns_per_conv=2)
+    state = os.path.join(str(tmp_path), "state")
+    os.makedirs(state, exist_ok=True)
+    for lo, hi in (("conv-000000", "conv-000010"),
+                   ("conv-000010", "conv-000020"),
+                   ("conv-000020", "conv-000030")):
+        batch = transcripts.filter(
+            (F.col("conv_id") >= lo) & (F.col("conv_id") < hi)
+        )
+        incremental_edges_batch(spark, batch, state)
+    gens = sorted(n for n in os.listdir(state) if n.startswith("gen-"))
+    assert gens == ["gen-000002", "gen-000003"]
+    assert current_generation(state) == "gen-000003"
 
 
 def test_streaming_query_runs(spark, tmp_path):
