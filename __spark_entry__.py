@@ -949,6 +949,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("c_custkey", F.col("e.name").alias("name"), F.col("e.sources").alias("sources"))
         )
 
+    def q_entity_payload_parse(spark, sf):
+        # S8: wbgetentities dim load (wikidata_api.py:85-123) — entity
+        # documents with POLYMORPHIC claims (entity-id P31, coordinate
+        # P625, plain-string P1216) built deterministically from nation
+        # rows, grouped one response per region, round-tripped through the
+        # mapInPandas payload parser; the oracle recomputes the expected
+        # typed rows straight from the table
+        from osm_wikidata_spark.sources.api_payloads import parse_wbgetentities
+
+        entity = F.format_string(
+            '"Q%d": {"id": "Q%d",'
+            ' "labels": {"en": {"language": "en", "value": "%s"}},'
+            ' "claims": {"P31": [{"mainsnak": {"datavalue": {"value":'
+            ' {"entity-type": "item", "id": "Q6256"}}}}]%s, "P625":'
+            ' [{"mainsnak": {"datavalue": {"value": {"latitude": %d.5,'
+            ' "longitude": %d.25}}}}]}}',
+            F.col("n_nationkey"), F.col("n_nationkey"), F.col("n_name"),
+            F.when(
+                F.col("n_nationkey") % 3 == 0,
+                F.lit(', "P1216": [{"mainsnak": {"datavalue": {"value": "1021402"}}}]'),
+            ).otherwise(F.lit("")),
+            F.col("n_nationkey"), F.col("n_regionkey"),
+        )
+        payloads = (
+            _t(spark, sf, "nation")
+            .select("n_regionkey", entity.alias("e"))
+            .groupBy("n_regionkey")
+            .agg(
+                F.concat(
+                    F.lit('{"entities": {'),
+                    F.array_join(F.sort_array(F.collect_list("e")), ", "),
+                    F.lit("}}"),
+                ).alias("payload")
+            )
+        )
+        return parse_wbgetentities(payloads).select(
+            "qid",
+            "label_en",
+            F.element_at("instanceof", 1).alias("instance_of"),
+            "is_nhle",
+            "lat",
+            "lon",
+        )
+
+    def q_wiki_extracts(spark, sf):
+        # S9 → F7: Wikipedia extracts dim load (wikipedia.py:142-163) with
+        # get_extracts skip semantics (no-extract and whitespace-only pages
+        # dropped), then bold display names per article
+        from osm_wikidata_spark.sources.api_payloads import (
+            extract_bold_names,
+            parse_extracts,
+        )
+
+        page = F.format_string(
+            '{"pageid": %d, "ns": 0, "title": "%s",'
+            ' "extract": "<p>The <b>%s</b> regional article.</p>"}',
+            F.col("r_regionkey"), F.col("r_name"), F.col("r_name"),
+        )
+        payloads = _t(spark, sf, "region").agg(
+            F.concat(
+                F.lit('{"query": {"pages": ['),
+                F.array_join(F.sort_array(F.collect_list(page)), ", "),
+                F.lit(', {"pageid": 900, "ns": 0, "title": "NoExtract", "missing": true}'),
+                F.lit(', {"pageid": 901, "ns": 0, "title": "Blank", "extract": "  \\n "}]}}'),
+            ).alias("payload")
+        )
+        return extract_bold_names(parse_extracts(payloads)).select(
+            "title", F.element_at("names", 1).alias("bold_name")
+        )
+
     def q_filter_distant(spark, sf):
         # G1: lone-near-candidate selection (matcher.py:1567-1582)
         from osm_wikidata_spark.operators.resolve import filter_distant
@@ -1243,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_identifier_match": q_identifier_match,
         "q_addr_extract": q_addr_extract,
         "q_names_from_entity": q_names_from_entity,
+        "q_entity_payload_parse": q_entity_payload_parse,
+        "q_wiki_extracts": q_wiki_extracts,
         "q_filter_distant": q_filter_distant,
         "q_prefer_unique": q_prefer_unique,
         "q_reduce_candidates": q_reduce_candidates,
@@ -1630,6 +1702,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT c_custkey, c_mktsegment, 'alias:en'
             FROM customer WHERE c_custkey % 2 = 0
+        """,
+        "q_entity_payload_parse": """
+            SELECT 'Q' || n_nationkey AS qid, n_name AS label_en,
+                   'Q6256' AS instance_of,
+                   (n_nationkey % 3 = 0) AS is_nhle,
+                   n_nationkey + 0.5 AS lat, n_regionkey + 0.25 AS lon
+            FROM nation
+        """,
+        "q_wiki_extracts": """
+            SELECT r_name AS title, r_name AS bold_name FROM region
         """,
         "q_filter_distant": """
             WITH edges AS (

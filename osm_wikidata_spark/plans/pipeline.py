@@ -277,20 +277,30 @@ def score_pairs(
         place context = union of both sides' within-context names
         (matcher.py:714-720's ``place_names | within``), null when empty so
         the UDF skips the place-strip retry (match.py:708-719)."""
+        # BROADCAST both dim joins: ctx_dim is dim-sized by construction
+        # (1 empty-context row + one row per distinct non-empty context),
+        # while ctx_fp is maximally SKEWED on the probe side — the
+        # empty-context fingerprint covers nearly every pair, so a
+        # hash-partitioned join here would funnel the whole pair set
+        # through one partition.  Broadcast makes both joins map-side.
         out = df.join(
-            ctx_dim.select(
-                F.col("ctx_fp").alias("left_fp"),
-                F.col("endings").alias("le"),
-                F.col("place_names").alias("lp"),
-                F.col("is_hamlet").alias("lh"),
+            F.broadcast(
+                ctx_dim.select(
+                    F.col("ctx_fp").alias("left_fp"),
+                    F.col("endings").alias("le"),
+                    F.col("place_names").alias("lp"),
+                    F.col("is_hamlet").alias("lh"),
+                )
             ),
             "left_fp",
         ).join(
-            ctx_dim.select(
-                F.col("ctx_fp").alias("right_fp"),
-                F.col("endings").alias("re"),
-                F.col("place_names").alias("rp"),
-                F.col("is_hamlet").alias("rh"),
+            F.broadcast(
+                ctx_dim.select(
+                    F.col("ctx_fp").alias("right_fp"),
+                    F.col("endings").alias("re"),
+                    F.col("place_names").alias("rp"),
+                    F.col("is_hamlet").alias("rh"),
+                )
             ),
             "right_fp",
         )
