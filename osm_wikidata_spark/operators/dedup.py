@@ -98,32 +98,36 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands
     # flat explode + groupBy(min×n) instead of nested array expressions:
     # keeps the per-row expression tree small so whole-stage codegen holds,
-    # and the mins combine map-side (same pattern as simhash_table)
+    # and the mins combine map-side (same pattern as simhash_table).
+    # xxhash64 (seeded per hash function) instead of seeded md5: ~an order
+    # of magnitude cheaper per shingle and the min-wise property only needs
+    # a uniform hash family, not a cryptographic one.
     shingled = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )
     mins = shingled.groupBy("doc").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(f"m{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
             for i in range(n_hashes)
         ]
     )
-    sig = mins.select(
-        "doc", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
-    )
-    band_keys = sig.select(
+    # band bucket = one xxhash64 over the band's min columns — no signature
+    # array materialisation, no string hashing
+    band_keys = mins.select(
         "doc",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                "|",
-                            )
+                        F.xxhash64(
+                            *[
+                                F.col(f"m{i}")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -190,13 +194,33 @@ def ngram_jaccard_pairs(
         inverted.join(shingle_df, "shingle")
         .withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= prefix_len)
-        .select("doc", "shingle")
+        .select("doc", "set_size", "shingle")
     )
 
+    # length filter (also exact): J ≥ t ⇒ |A∩B| ≥ t·|A∪B|, and
+    # |A∩B| ≤ min(|A|,|B|), |A∪B| ≥ max(|A|,|B|), so min ≥ t·max.
+    # Pruning here — on two int columns already riding the prefix join —
+    # keeps mismatched-size pairs out of the verification join, which is
+    # the expensive one (it ships full shingle arrays).
     candidates = (
-        prefix.select(F.col("doc").alias("left_id"), "shingle")
-        .join(prefix.select(F.col("doc").alias("right_id"), "shingle"), "shingle")
-        .filter(F.col("left_id") < F.col("right_id"))
+        prefix.select(
+            F.col("doc").alias("left_id"), F.col("set_size").alias("__ln"), "shingle"
+        )
+        .join(
+            prefix.select(
+                F.col("doc").alias("right_id"),
+                F.col("set_size").alias("__rn"),
+                "shingle",
+            ),
+            "shingle",
+        )
+        .filter(
+            (F.col("left_id") < F.col("right_id"))
+            & (
+                F.least("__ln", "__rn")
+                >= F.lit(threshold) * F.greatest("__ln", "__rn") - F.lit(1e-9)
+            )
+        )
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
     )
@@ -238,12 +262,13 @@ def simhash_table(
     bit.  This beats a per-row higher-order aggregate by keeping the plan
     flat and letting whole-stage codegen fuse the 60 sums.
     """
+    # xxhash64 over the shingle: the per-bit votes only need a uniform
+    # 64-bit hash (bits 0..59 are extracted below); sign extension is
+    # irrelevant to single-bit masks
     shingled = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-    )
+    ).withColumn("h", F.xxhash64("shingle"))
     votes = shingled.groupBy("doc").agg(
         *[
             F.sum(
