@@ -1,16 +1,21 @@
 """Deduplication operators for large-scale document pipelines.
 
 Graft-new (driver mandate): exact, MinHash+LSH, SimHash, and n-gram Jaccard
-near-dup detection over a document table.  All deterministic and engine
--portable: hashes are md5 hex strings (identical in Spark and DuckDB), so
-every operator here is oracle-checkable.
+near-dup detection over a document table.  All deterministic.  Engine
+portability splits by operator: exact dedup and n-gram Jaccard key on md5
+hex strings / true shingles (identical in Spark and DuckDB → exact
+oracles); MinHash and SimHash key on Spark's xxhash64 (no DuckDB
+equivalent — an order of magnitude cheaper per shingle, and those two are
+approximate-by-design and checked by planted-duplicate/recall tests, not
+value oracles).
 
 Scale notes:
 * exact dedup is one hash-shuffle on a 32-char key — the canonical pattern.
 * MinHash/LSH: the shingle explosion is the expensive part; band buckets
   bound the pair candidate count, and buckets above ``max_bucket`` are
   dropped (boilerplate-cluster defence) exactly like blocking hot-key caps.
-* all joins key on short hex strings → compact shuffles.
+* joins key on 8-byte longs (LSH buckets) or short hex strings → compact
+  shuffles.
 """
 
 from __future__ import annotations

@@ -23,6 +23,7 @@ set-oriented DataFrame op so Catalyst/AQE own the physical plan.
 
 from __future__ import annotations
 
+import hashlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -60,6 +61,13 @@ def _derived_endings(tokens: F.Column) -> F.Column:
     )
 
 
+def _name_words(n: F.Column) -> F.Column:
+    """Lowercase words of one name (split on non-alphanumeric, empties
+    removed) — the single tokenisation shared by acronym keying and ending
+    derivation (tests/test_generator.py mirrors it in Python)."""
+    return F.filter(F.split(F.lower(F.trim(n)), r"[^0-9a-z]+"), lambda w: w != "")
+
+
 def _full_name_keys(names: F.Column) -> F.Column:
     """Secondary blocking channel (J2; the reference's tag-independent
     nearby-nodes scan, matcher.py:240-251): one block key per exact
@@ -85,9 +93,7 @@ def _acronym_keys(names: F.Column) -> F.Column:
     array_union/filter."""
 
     def _key(n):
-        words = F.filter(
-            F.split(F.lower(F.trim(n)), r"[^0-9a-z]+"), lambda w: w != ""
-        )
+        words = _name_words(n)
         multi = F.concat(
             F.lit("acro:"),
             F.array_join(F.transform(words, lambda w: F.substring(w, 1, 1)), ""),
@@ -148,17 +154,7 @@ def extract_entities(transcripts: DataFrame) -> DataFrame:
         .withColumn(
             "endings",
             _derived_endings(
-                F.array_distinct(
-                    F.flatten(
-                        F.transform(
-                            "names",
-                            lambda n: F.filter(
-                                F.split(F.lower(n), r"[^0-9a-z]+"),
-                                lambda w: w != "",
-                            ),
-                        )
-                    )
-                )
+                F.array_distinct(F.flatten(F.transform("names", _name_words)))
             ),
         )
         .withColumn(
@@ -270,37 +266,55 @@ def score_pairs(
         )
     )
 
+    # fingerprint of the EMPTY context (no endings, no places, not hamlet)
+    # — must mirror the ctx_fp expression above byte-for-byte
+    empty_fp = hashlib.md5("\x1f".join(["", "", "false"]).encode()).hexdigest()
+    sorted_global = F.array(*[F.lit(e) for e in sorted(set(endings or GLOBAL_ENDINGS))])
+
     def _with_context(df: DataFrame) -> DataFrame:
         """Rehydrate the pair's decision context from the ctx dim and fold
         it to pair level: trim set = GLOBAL ∪ both sides (matcher.py:641-656),
         minus "house" when either side is a hamlet (matcher.py:1036-1046);
         place context = union of both sides' within-context names
         (matcher.py:714-720's ``place_names | within``), null when empty so
-        the UDF skips the place-strip retry (match.py:708-719)."""
-        # BROADCAST both dim joins: ctx_dim is dim-sized by construction
-        # (1 empty-context row + one row per distinct non-empty context),
-        # while ctx_fp is maximally SKEWED on the probe side — the
-        # empty-context fingerprint covers nearly every pair, so a
-        # hash-partitioned join here would funnel the whole pair set
-        # through one partition.  Broadcast makes both joins map-side.
-        out = df.join(
-            F.broadcast(
-                ctx_dim.select(
-                    F.col("ctx_fp").alias("left_fp"),
-                    F.col("endings").alias("le"),
-                    F.col("place_names").alias("lp"),
-                    F.col("is_hamlet").alias("lh"),
-                )
+        the UDF skips the place-strip retry (match.py:708-719).
+
+        Two paths, because ctx_fp is maximally SKEWED (the empty-context
+        fingerprint covers nearly every pair) and ctx_dim's cardinality is
+        data-dependent (distinct place-name sets), so neither a plain
+        shuffle join (hot key) nor a forced broadcast (unbounded dim) is
+        safe at scale:
+
+        * both sides empty — the overwhelming majority — get the global
+          context as a pure column expression, no join at all;
+        * rows with ANY non-empty side (sparse by construction: per-entity
+          context exists only where endings/places/hamlet markers fired)
+          join the dim unhinted — the skewed empty key is gone from this
+          path, its volume is bounded by the contextful subset, and AQE
+          still broadcasts the dim when it is actually small.
+        """
+        both_empty = (F.col("left_fp") == empty_fp) & (
+            F.col("right_fp") == empty_fp
+        )
+        plain = (
+            df.filter(both_empty)
+            .withColumn("pair_endings", sorted_global)
+            .withColumn("pair_places", F.lit(None).cast("array<string>"))
+        )
+        ctxed = df.filter(~both_empty).join(
+            ctx_dim.select(
+                F.col("ctx_fp").alias("left_fp"),
+                F.col("endings").alias("le"),
+                F.col("place_names").alias("lp"),
+                F.col("is_hamlet").alias("lh"),
             ),
             "left_fp",
         ).join(
-            F.broadcast(
-                ctx_dim.select(
-                    F.col("ctx_fp").alias("right_fp"),
-                    F.col("endings").alias("re"),
-                    F.col("place_names").alias("rp"),
-                    F.col("is_hamlet").alias("rh"),
-                )
+            ctx_dim.select(
+                F.col("ctx_fp").alias("right_fp"),
+                F.col("endings").alias("re"),
+                F.col("place_names").alias("rp"),
+                F.col("is_hamlet").alias("rh"),
             ),
             "right_fp",
         )
@@ -314,9 +328,10 @@ def score_pairs(
             F.size(F.array_union("lp", "rp")) > 0,
             F.array_sort(F.array_union("lp", "rp")),
         )
-        return out.withColumn("pair_endings", pair_endings).withColumn(
+        ctxed = ctxed.withColumn("pair_endings", pair_endings).withColumn(
             "pair_places", pair_places
         )
+        return plain.unionByName(ctxed.select(*plain.columns))
 
     # the cascade is asymmetric (record-side-only retries like drop_initials,
     # match.py:688-693) and transcripts have no record/entity sides, so the

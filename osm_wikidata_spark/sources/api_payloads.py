@@ -102,9 +102,12 @@ def _entity_rows(payloads: Iterator) -> Iterator:
                         "label_en": (labels.get("en") or {}).get("value"),
                         "instanceof": p31,
                         # P1216 = National Heritage List for England number;
-                        # existence drives the NHLE distance guard
-                        # (model.py:1116-1118, matcher.py:824-825)
-                        "is_nhle": bool(_claim_values(entity, "P1216")),
+                        # the reference checks bare claim-KEY presence
+                        # ('"P1216" in entity["claims"]', model.py:1116-1118)
+                        # — a novalue/somevalue snak still counts — and the
+                        # flag drives the NHLE distance guard
+                        # (matcher.py:824-825)
+                        "is_nhle": "P1216" in (entity.get("claims") or {}),
                         "street_address": p6375,
                         "lat": (p625 or {}).get("latitude"),
                         "lon": (p625 or {}).get("longitude"),

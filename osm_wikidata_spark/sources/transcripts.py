@@ -197,8 +197,15 @@ def synth_transcripts(
     )
     # tool turns carry the conversation's side-channel context: the place
     # context as «place» (J5 within-names analog) and the entity kind as
-    # "kind: hamlet" (is_hamlet analog) — requires turns_per_conv >= 3
-    is_tool_turn = F.pmod(F.col("turn_idx"), F.lit(len(_ROLES))) == 2
+    # "kind: hamlet" (is_hamlet analog).  With turns_per_conv < 3 there is
+    # no tool turn, so the markers ride turn 0 instead — the extraction
+    # scans every turn's text, and silently dropping them would make the
+    # generator's own ground truth unsatisfiable (hamlet singletons would
+    # merge, the place-context group would never cluster).
+    if turns_per_conv >= len(_ROLES) - 1:
+        is_tool_turn = F.pmod(F.col("turn_idx"), F.lit(len(_ROLES))) == 2
+    else:
+        is_tool_turn = F.col("turn_idx") == 0
     context_suffix = F.concat(
         F.when(
             is_tool_turn & F.col("place").isNotNull(),

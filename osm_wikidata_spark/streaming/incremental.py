@@ -64,9 +64,20 @@ def current_generation(state_dir: str) -> str | None:
 
 
 def state_paths(state_dir: str) -> tuple[str, str] | None:
-    """(blocks_path, entities_path) of the live generation, or None."""
+    """(blocks_path, entities_path) of the live generation, or None.
+
+    Falls back to the pre-manifest flat layout (``<state_dir>/blocks`` +
+    ``<state_dir>/entities``, written by the directory-rename
+    implementation this replaced) so an upgrade does not silently rebuild
+    from empty; the first post-upgrade commit writes a real generation and
+    GCs the legacy dirs.
+    """
     gen = current_generation(state_dir)
     if gen is None:
+        legacy_blocks = os.path.join(state_dir, "blocks")
+        legacy_entities = os.path.join(state_dir, "entities")
+        if os.path.exists(os.path.join(legacy_blocks, "_SUCCESS")):
+            return legacy_blocks, legacy_entities
         return None
     gen_dir = os.path.join(state_dir, gen)
     return os.path.join(gen_dir, "blocks"), os.path.join(gen_dir, "entities")
@@ -104,6 +115,12 @@ def _commit_generation(state_dir: str, gen: str, keep: int = 2) -> None:
         m = _GEN_RE.match(name)
         if m and int(m.group(1)) <= current - keep:
             shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+    # pre-manifest flat layout, adopted read-only by state_paths(): once a
+    # real generation is committed its contents are folded in — GC it
+    for legacy in ("blocks", "entities"):
+        path = os.path.join(state_dir, legacy)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def incremental_edges_batch(

@@ -58,7 +58,12 @@ _STATE_SCHEMA = StructType(
         StructField("max_turn_idx", IntegerType()),
         # persisted so "last event time" is monotone across micro-batches:
         # a later batch holding only out-of-order OLDER turns must not make
-        # the emitted last_ts regress below a previously reported value
+        # the emitted last_ts regress below a previously reported value.
+        # STATE-SCHEMA VERSION NOTE: adding this field changed the
+        # applyInPandasWithState state schema — a query checkpointed under
+        # the earlier 2-field schema cannot resume on it (Spark's state
+        # store rejects incompatible schemas); restart from a fresh
+        # checkpoint when upgrading.
         StructField("last_ts", TimestampType()),
     ]
 )
@@ -70,12 +75,17 @@ def _update_conv_progress(key, pdf_iter, state: GroupState):
     import pandas as pd
 
     n_turns, max_idx, last_ts = state.get if state.exists else (0, 0, None)
+    if last_ts is not None and pd.isna(last_ts):
+        last_ts = None  # never let a stored NaT poison the running max
     for pdf in pdf_iter:
         n_turns += len(pdf)
         if len(pdf):
             max_idx = max(max_idx, int(pdf["turn_idx"].max()))
             ts_max = pdf["ts"].max()
-            last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
+            # an all-null-ts batch yields NaT, and max(NaT, x) is NaT —
+            # skip it so last_ts stays recoverable and never regresses
+            if pd.notna(ts_max):
+                last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
     state.update((n_turns, max_idx, last_ts))
     yield pd.DataFrame(
         {

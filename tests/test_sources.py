@@ -35,12 +35,21 @@ _ENTITY = {
 
 
 def test_wbgetentities_polymorphic_claims(spark):
+    # novalue P1216 snak: the reference's is_nhle checks claim-KEY
+    # presence (model.py:1116-1118), so this must still flag as NHLE
+    novalue_nhle = {
+        "id": "Q77",
+        "labels": {"en": {"language": "en", "value": "Novalue Hall"}},
+        "claims": {"P1216": [{"mainsnak": {"snaktype": "novalue"}}]},
+    }
     payload = json.dumps(
-        {"entities": {"Q42": _ENTITY, "Q999": {"id": "Q999", "missing": ""}}}
+        {"entities": {"Q42": _ENTITY, "Q999": {"id": "Q999", "missing": ""},
+                      "Q77": novalue_nhle}}
     )
     df = spark.createDataFrame([(payload,)], "payload string")
     rows = {r["qid"]: r for r in parse_wbgetentities(df).collect()}
-    assert set(rows) == {"Q42", "Q999"}
+    assert set(rows) == {"Q42", "Q999", "Q77"}
+    assert rows["Q77"]["is_nhle"] is True
     e = rows["Q42"]
     assert e["label_en"] == "Adams Building"
     assert e["instanceof"] == ["Q41176"]

@@ -124,6 +124,55 @@ def test_conversation_progress_stateful(spark, tmp_path):
     assert all(r["n_turns"] == 5 and r["max_turn_idx"] == 4 for r in final.values())
 
 
+def test_conversation_progress_null_ts_batch(spark, tmp_path):
+    """A micro-batch whose ts values are all null must not poison last_ts
+    (NaT) nor stop a later real timestamp from landing, and the monotone
+    guarantee must hold when an older timestamp arrives afterwards."""
+    import datetime
+
+    from osm_wikidata_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+    from osm_wikidata_spark.streaming.windows import conversation_progress
+
+    src = os.path.join(str(tmp_path), "nt_src")
+    t1 = datetime.datetime(2026, 1, 2, 12, 0, 0)
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    batches = [
+        [("c", 0, "user", "a", None, None)],          # all-null ts batch
+        [("c", 1, "assistant", "b", None, t1)],        # real ts
+        [("c", 2, "tool", "c", "x", t0)],              # OLDER ts (out of order)
+    ]
+    for batch in batches:
+        spark.createDataFrame(batch, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out_dir = os.path.join(str(tmp_path), "nt_out")
+    ckpt = os.path.join(str(tmp_path), "nt_ckpt")
+
+    def _sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        conversation_progress(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(spark.read.parquet(out_dir).collect(), key=lambda r: r["n_turns"])
+    by_turns = {r["n_turns"]: r["last_ts"] for r in rows}
+    assert by_turns.get(1) is None          # null batch → no last_ts yet
+    assert by_turns.get(2) == t1            # real ts lands despite earlier NaT
+    assert by_turns.get(3) == t1            # older ts must NOT regress it
+
+
 def test_uncommitted_generation_recovery(spark, tmp_path):
     """A crash after the generation write but before the manifest commit
     leaves an orphaned gen dir: the manifest must keep naming the previous
@@ -160,6 +209,48 @@ def test_uncommitted_generation_recovery(spark, tmp_path):
     # old conversations' blocks survived the crash
     assert recovered.filter(F.col("block_id") < "conv-000020").count() > 0
     shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_legacy_flat_state_migrates(spark, tmp_path):
+    """Pre-manifest state (<state>/blocks + <state>/entities, the layout
+    the directory-rename implementation wrote) must be adopted on upgrade —
+    not silently rebuilt from empty — then folded into the first committed
+    generation and GC'd."""
+    from osm_wikidata_spark.streaming.incremental import (
+        current_generation,
+        state_paths,
+    )
+
+    transcripts, _ = synth_transcripts(spark, n_conversations=20, turns_per_conv=2)
+    state = os.path.join(str(tmp_path), "state")
+    os.makedirs(state, exist_ok=True)
+    # build real state, then rewrite it in the legacy flat layout
+    incremental_edges_batch(spark, transcripts, state)
+    blocks_path, entities_path = state_paths(state)
+    spark.read.parquet(blocks_path).write.parquet(os.path.join(state, "blocks"))
+    spark.read.parquet(entities_path).write.parquet(
+        os.path.join(state, "entities")
+    )
+    os.remove(os.path.join(state, "MANIFEST"))
+    for name in list(os.listdir(state)):
+        if name.startswith("gen-"):
+            import shutil
+
+            shutil.rmtree(os.path.join(state, name))
+
+    # legacy layout is visible without a manifest
+    assert current_generation(state) is None
+    assert state_paths(state)[0] == os.path.join(state, "blocks")
+
+    more, _ = synth_transcripts(spark, n_conversations=25, turns_per_conv=2)
+    more = more.filter(F.col("conv_id") >= "conv-000020")
+    incremental_edges_batch(spark, more, state)
+    # old conversations' blocks were folded into the new generation...
+    recovered = spark.read.parquet(state_paths(state)[0])
+    assert recovered.filter(F.col("block_id") < "conv-000020").count() > 0
+    # ...and the legacy dirs are gone
+    assert not os.path.exists(os.path.join(state, "blocks"))
+    assert not os.path.exists(os.path.join(state, "entities"))
 
 
 def test_generation_gc_keeps_last_two(spark, tmp_path):
