@@ -93,6 +93,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int = 50,
+    persist: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -141,6 +142,16 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
+    # band_keys feeds the bucket-size count and both self-join sides (no
+    # ReusedExchange across them — verified in the formatted plan), so the
+    # shingle explode + min aggregation would otherwise run per consumer.
+    # Locally the effect is within VM noise (bandwidth-bound); at cluster
+    # scale 4x recompute of the shingle explode is CPU that persist trades
+    # for executor-local storage.  persist=False opts out.
+    if persist:
+        from pyspark import StorageLevel
+
+        band_keys = band_keys.persist(StorageLevel.MEMORY_AND_DISK)
     kept, _dropped = cap_buckets(band_keys, ["band", "bucket"], max_bucket)
 
     left = kept.select(F.col("doc").alias("left_id"), "band", "bucket")
@@ -181,6 +192,14 @@ def ngram_jaccard_pairs(
     with_sets = docs.select(
         F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("sh")
     ).withColumn("set_size", F.size("sh"))
+    # the shingle-set subtree feeds THREE consumers (inverted index + both
+    # sides of the verification join); without a persist each one re-runs
+    # the normalize/split/shingle pipeline over the full corpus.  MEMORY_
+    # AND_DISK spills at scale; Spark's ContextCleaner reclaims it once
+    # the plan is unreferenced.
+    from pyspark import StorageLevel
+
+    with_sets = with_sets.persist(StorageLevel.MEMORY_AND_DISK)
     inverted = with_sets.select("doc", "set_size", F.explode("sh").alias("shingle"))
 
     shingle_df = inverted.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -317,6 +336,7 @@ def simhash_candidate_pairs(
     max_hamming: int,
     n_bands: int | None = None,
     max_bucket: int | None = 200,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Block-combination candidate pairs over a (doc, sim) table with exact
     Hamming verification.  Returns ``(pairs, dropped_buckets)``.
@@ -346,6 +366,14 @@ def simhash_candidate_pairs(
     if t < 1:
         raise ValueError(f"n_bands={n_bands} must exceed max_hamming={max_hamming}")
     bounds = _band_bounds(bits, n_bands)
+    # one long per doc, but the vote aggregation behind it is the dominant
+    # cost and feeds the combo-key explode plus both self-join sides with
+    # no ReusedExchange (verified in the formatted plan); see the
+    # minhash_lsh_pairs persist note for the local-vs-cluster tradeoff
+    if persist:
+        from pyspark import StorageLevel
+
+        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _combo_key(combo: tuple[int, ...]) -> F.Column:
         key, shift = F.lit(0).cast("long"), 0

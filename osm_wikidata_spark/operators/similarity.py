@@ -212,6 +212,12 @@ def cosine_near_dup_pairs_lsh(
             hyperplane_signatures(F.col(vec_col), n_planes, n_tables, seed)
         ).alias("bucket"),
     )
+    # bucketed feeds the bucket-size count and both self-join sides;
+    # persist (two scalar columns per row) so the hyperplane-signature
+    # pandas UDF runs once per vector, not ~4x
+    from pyspark import StorageLevel
+
+    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     kept, _dropped = cap_buckets(bucketed, ["bucket"], max_bucket)
     candidates = (
         kept.select(F.col("doc").alias("left_id"), "bucket")
