@@ -269,7 +269,6 @@ def score_pairs(
     # fingerprint of the EMPTY context (no endings, no places, not hamlet)
     # — must mirror the ctx_fp expression above byte-for-byte
     empty_fp = hashlib.md5("\x1f".join(["", "", "false"]).encode()).hexdigest()
-    sorted_global = F.array(*[F.lit(e) for e in sorted(set(endings or GLOBAL_ENDINGS))])
 
     def _with_context(df: DataFrame) -> DataFrame:
         """Rehydrate the pair's decision context from the ctx dim and fold
@@ -279,59 +278,56 @@ def score_pairs(
         (matcher.py:714-720's ``place_names | within``), null when empty so
         the UDF skips the place-strip retry (match.py:708-719).
 
-        Two paths, because ctx_fp is maximally SKEWED (the empty-context
-        fingerprint covers nearly every pair) and ctx_dim's cardinality is
-        data-dependent (distinct place-name sets), so neither a plain
-        shuffle join (hot key) nor a forced broadcast (unbounded dim) is
-        safe at scale:
-
-        * both sides empty — the overwhelming majority — get the global
-          context as a pure column expression, no join at all;
-        * rows with ANY non-empty side (sparse by construction: per-entity
-          context exists only where endings/places/hamlet markers fired)
-          join the dim unhinted — the skewed empty key is gone from this
-          path, its volume is bounded by the contextful subset, and AQE
-          still broadcasts the dim when it is actually small.
+        Shape: one LEFT join per side against the dim of NON-EMPTY
+        contexts, coalescing misses (the overwhelming majority — the
+        empty-context fingerprint) to the global defaults.  Chosen over
+        the two rejected alternatives: a forced broadcast is unsafe
+        because ctx_dim's cardinality is data-dependent (distinct
+        place-name sets), and a filter-split + union consumes the
+        (expensive, un-materialised) upstream twice — measured 2.5x on
+        the flagship.  The empty fingerprint never matches the dim, and
+        its hot probe partitions are handled by AQE skew-join splitting
+        (the dim side replicates under a left join); when the dim is
+        genuinely small AQE broadcasts it and the shuffle disappears.
         """
-        both_empty = (F.col("left_fp") == empty_fp) & (
-            F.col("right_fp") == empty_fp
-        )
-        plain = (
-            df.filter(both_empty)
-            .withColumn("pair_endings", sorted_global)
-            .withColumn("pair_places", F.lit(None).cast("array<string>"))
-        )
-        ctxed = df.filter(~both_empty).join(
-            ctx_dim.select(
+        ctx_nonempty = ctx_dim.filter(F.col("ctx_fp") != empty_fp)
+        out = df.join(
+            ctx_nonempty.select(
                 F.col("ctx_fp").alias("left_fp"),
                 F.col("endings").alias("le"),
                 F.col("place_names").alias("lp"),
                 F.col("is_hamlet").alias("lh"),
             ),
             "left_fp",
+            "left",
         ).join(
-            ctx_dim.select(
+            ctx_nonempty.select(
                 F.col("ctx_fp").alias("right_fp"),
                 F.col("endings").alias("re"),
                 F.col("place_names").alias("rp"),
                 F.col("is_hamlet").alias("rh"),
             ),
             "right_fp",
+            "left",
         )
+        empty_arr = F.array().cast("array<string>")
+        le, re_ = F.coalesce("le", empty_arr), F.coalesce("re", empty_arr)
+        lp, rp = F.coalesce("lp", empty_arr), F.coalesce("rp", empty_arr)
+        hamlet = F.coalesce("lh", F.lit(False)) | F.coalesce("rh", F.lit(False))
         pair_endings = F.array_sort(
-            F.array_union(global_endings, F.array_union("le", "re"))
+            F.array_union(global_endings, F.array_union(le, re_))
         )
         pair_endings = F.when(
-            F.col("lh") | F.col("rh"), F.array_remove(pair_endings, "house")
+            hamlet, F.array_remove(pair_endings, "house")
         ).otherwise(pair_endings)
         pair_places = F.when(
-            F.size(F.array_union("lp", "rp")) > 0,
-            F.array_sort(F.array_union("lp", "rp")),
+            F.size(F.array_union(lp, rp)) > 0, F.array_sort(F.array_union(lp, rp))
         )
-        ctxed = ctxed.withColumn("pair_endings", pair_endings).withColumn(
-            "pair_places", pair_places
+        return (
+            out.withColumn("pair_endings", pair_endings)
+            .withColumn("pair_places", pair_places)
+            .drop("le", "lp", "lh", "re", "rp", "rh")
         )
-        return plain.unionByName(ctxed.select(*plain.columns))
 
     # the cascade is asymmetric (record-side-only retries like drop_initials,
     # match.py:688-693) and transcripts have no record/entity sides, so the
