@@ -218,7 +218,7 @@ def ngram_jaccard_pairs(
         inverted.join(shingle_df, "shingle")
         .withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= prefix_len)
-        .select("doc", "set_size", "shingle")
+        .select("doc", "set_size", "shingle", "__rank")
     )
 
     # length filter (also exact): J ≥ t ⇒ |A∩B| ≥ t·|A∪B|, and
@@ -226,14 +226,18 @@ def ngram_jaccard_pairs(
     # Pruning here — on two int columns already riding the prefix join —
     # keeps mismatched-size pairs out of the verification join, which is
     # the expensive one (it ships full shingle arrays).
-    candidates = (
+    joined = (
         prefix.select(
-            F.col("doc").alias("left_id"), F.col("set_size").alias("__ln"), "shingle"
+            F.col("doc").alias("left_id"),
+            F.col("set_size").alias("__ln"),
+            F.col("__rank").alias("__i"),
+            "shingle",
         )
         .join(
             prefix.select(
                 F.col("doc").alias("right_id"),
                 F.col("set_size").alias("__rn"),
+                F.col("__rank").alias("__j"),
                 "shingle",
             ),
             "shingle",
@@ -245,8 +249,36 @@ def ngram_jaccard_pairs(
                 >= F.lit(threshold) * F.greatest("__ln", "__rn") - F.lit(1e-9)
             )
         )
+    )
+    # positional filter (also exact; PPJoin-style, Xiao et al. WWW'08 with
+    # the conservative prior-overlap term): both docs list shingles in the
+    # same global (df, shingle) order, so for a shared shingle at ranks
+    # (i, j), overlap before it is ≤ min(i−1, j−1) (earlier shared
+    # shingles occupy earlier ranks on BOTH sides) and overlap from it on
+    # is ≤ 1 + min(|A|−i, |B|−j).  J ≥ t ⟺ overlap ≥ t/(1+t)·(|A|+|B|);
+    # a pair whose best shared-prefix shingle cannot reach that bound is
+    # pruned before verification.  Taking min(i)/min(j) separately is
+    # sound: rank is monotone in the shared global order, so the
+    # globally-least shared prefix shingle attains both minima.
+    alpha = (
+        F.lit(threshold / (1.0 + threshold)) * (F.col("__ln") + F.col("__rn"))
+        - F.lit(1e-9)
+    )
+    candidates = (
+        joined.groupBy("left_id", "right_id")
+        .agg(
+            F.first("__ln").alias("__ln"),
+            F.first("__rn").alias("__rn"),
+            F.min("__i").alias("__i"),
+            F.min("__j").alias("__j"),
+        )
+        .filter(
+            F.lit(1)
+            + F.least(F.col("__i") - 1, F.col("__j") - 1)
+            + F.least(F.col("__ln") - F.col("__i"), F.col("__rn") - F.col("__j"))
+            >= F.ceil(alpha)
+        )
         .select("left_id", "right_id")
-        .dropDuplicates(["left_id", "right_id"])
     )
 
     # exact verification on the full shingle sets

@@ -163,6 +163,38 @@ def test_ngram_jaccard_prefix_filter_equals_all_pairs(spark):
     assert got == expect
 
 
+def test_ngram_jaccard_randomized_equals_all_pairs(spark):
+    """Randomized corpus stress of the prefix + length + positional
+    filters: exact equality with brute force at several thresholds."""
+    import itertools
+    import random
+
+    rng = random.Random(31337)
+    words = [f"w{k}" for k in range(40)]
+    rows = [
+        (f"d{i:03d}", " ".join(rng.choice(words) for _ in range(rng.randint(4, 30))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def shingles(text):
+        ws = " ".join(text.lower().split()).split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(max(len(ws) - 2, 1))}
+
+    for t in (0.2, 0.5, 0.8):
+        expect = {}
+        for (i, a), (j, b) in itertools.combinations(sorted(rows), 2):
+            sa, sb = shingles(a), shingles(b)
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= t:
+                expect[(i, j)] = round(jac, 6)
+        got = {
+            (r["left_id"], r["right_id"]): round(r["jaccard"], 6)
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert got == expect, f"threshold {t}"
+
+
 def test_brute_force_topk(spark):
     vecs = spark.createDataFrame(
         [
