@@ -1019,6 +1019,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "title", F.element_at("names", 1).alias("bold_name")
         )
 
+    def q_osm_changeset_edits(spark, sf):
+        # S12 read-back: osmChange documents built deterministically from
+        # orders rows (one payload per customer bucket, mixed node/way/
+        # relation kinds, wikidata tag only on even order keys), parsed by
+        # the explicit-schema from_xml path (sinks/changesets.py,
+        # osm_api.py:29-49); the oracle recomputes the expected edit rows
+        # straight from the table
+        from osm_wikidata_spark.sinks.changesets import parse_osm_change
+
+        base = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+        kind = (
+            F.when(F.col("o_orderkey") % 3 == 0, "node")
+            .when(F.col("o_orderkey") % 3 == 1, "way")
+            .otherwise("relation")
+        )
+        wd_tag = F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.format_string('<tag k="wikidata" v="Q%d"/>', F.col("o_custkey")),
+        ).otherwise(F.lit(""))
+        elem = F.format_string(
+            '<modify><%s changeset="%d" id="%d" timestamp="%s">%s'
+            '<tag k="priority" v="%s"/></%s></modify>',
+            kind,
+            F.col("o_custkey"),
+            F.col("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'00:00:00'Z'"),
+            wd_tag,
+            F.col("o_orderpriority"),
+            kind,
+        )
+        payloads = (
+            base.select((F.col("o_custkey") % 10).alias("bucket"), elem.alias("e"))
+            .groupBy("bucket")
+            .agg(
+                F.concat(
+                    F.lit("<osmChange>"),
+                    F.array_join(F.sort_array(F.collect_list("e")), ""),
+                    F.lit("</osmChange>"),
+                ).alias("payload")
+            )
+        )
+        return parse_osm_change(payloads)
+
     def q_filter_distant(spark, sf):
         # G1: lone-near-candidate selection (matcher.py:1567-1582)
         from osm_wikidata_spark.operators.resolve import filter_distant
@@ -1315,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_names_from_entity": q_names_from_entity,
         "q_entity_payload_parse": q_entity_payload_parse,
         "q_wiki_extracts": q_wiki_extracts,
+        "q_osm_changeset_edits": q_osm_changeset_edits,
         "q_filter_distant": q_filter_distant,
         "q_prefer_unique": q_prefer_unique,
         "q_reduce_candidates": q_reduce_candidates,
@@ -1712,6 +1756,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_wiki_extracts": """
             SELECT r_name AS title, r_name AS bold_name FROM region
+        """,
+        "q_osm_changeset_edits": """
+            SELECT o_custkey AS changeset_id,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'node'
+                        WHEN o_orderkey % 3 = 1 THEN 'way'
+                        ELSE 'relation' END AS osm_type,
+                   o_orderkey AS osm_id,
+                   strftime(o_orderdate, '%Y-%m-%d') || 'T00:00:00Z' AS saved,
+                   o_custkey AS item_id
+            FROM orders
+            WHERE o_orderkey <= 2000 AND o_orderkey % 2 = 0
         """,
         "q_filter_distant": """
             WITH edges AS (
