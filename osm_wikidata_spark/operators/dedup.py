@@ -147,7 +147,8 @@ def minhash_lsh_pairs(
     # shingle explode + min aggregation would otherwise run per consumer.
     # Locally the effect is within VM noise (bandwidth-bound); at cluster
     # scale 4x recompute of the shingle explode is CPU that persist trades
-    # for executor-local storage.  persist=False opts out.
+    # for executor-local storage.  persist=False opts out; the cache-
+    # lifetime contract of ngram_jaccard_pairs applies.
     if persist:
         from pyspark import StorageLevel
 
@@ -170,6 +171,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ ``threshold`` pairs via prefix filtering.
 
@@ -194,12 +196,16 @@ def ngram_jaccard_pairs(
     ).withColumn("set_size", F.size("sh"))
     # the shingle-set subtree feeds THREE consumers (inverted index + both
     # sides of the verification join); without a persist each one re-runs
-    # the normalize/split/shingle pipeline over the full corpus.  MEMORY_
-    # AND_DISK spills at scale; Spark's ContextCleaner reclaims it once
-    # the plan is unreferenced.
-    from pyspark import StorageLevel
+    # the normalize/split/shingle pipeline over the full corpus (measured
+    # ~2x query wall time at sf0.1).  CACHE-LIFETIME CONTRACT: the entry
+    # lives in the session's CacheManager until the caller unpersists or
+    # clears the cache (e.g. spark.catalog.clearCache()); long-lived
+    # drivers invoking this repeatedly should do so between jobs, or pass
+    # persist=False and manage materialisation themselves.
+    if persist:
+        from pyspark import StorageLevel
 
-    with_sets = with_sets.persist(StorageLevel.MEMORY_AND_DISK)
+        with_sets = with_sets.persist(StorageLevel.MEMORY_AND_DISK)
     inverted = with_sets.select("doc", "set_size", F.explode("sh").alias("shingle"))
 
     shingle_df = inverted.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -368,7 +374,7 @@ def simhash_candidate_pairs(
     max_hamming: int,
     n_bands: int | None = None,
     max_bucket: int | None = 200,
-    persist: bool = True,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Block-combination candidate pairs over a (doc, sim) table with exact
     Hamming verification.  Returns ``(pairs, dropped_buckets)``.
@@ -400,8 +406,11 @@ def simhash_candidate_pairs(
     bounds = _band_bounds(bits, n_bands)
     # one long per doc, but the vote aggregation behind it is the dominant
     # cost and feeds the combo-key explode plus both self-join sides with
-    # no ReusedExchange (verified in the formatted plan); see the
-    # minhash_lsh_pairs persist note for the local-vs-cluster tradeoff
+    # no ReusedExchange (verified in the formatted plan).  persist is
+    # OPT-IN here (default False) because ``hashed`` is CALLER-supplied:
+    # persisting it registers the caller's plan in the session cache as a
+    # side effect they never asked for.  simhash_near_dups, which builds
+    # and owns the table, enables it.
     if persist:
         from pyspark import StorageLevel
 
@@ -458,16 +467,20 @@ def simhash_near_dups(
     bits: int = 60,
     n_bands: int | None = None,
     max_bucket: int | None = 200,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs whose SimHashes are within ``max_hamming`` bits.
 
     Candidate generation keys on block combinations of the ``bits``-bit
     hash (see :func:`simhash_candidate_pairs` for the generalized-pigeonhole
     recall guarantee and the max_bucket linearity bound), then verifies
-    exact Hamming distance.
+    exact Hamming distance.  ``persist`` caches the owned (doc, sim)
+    table across its multiple consumers (cache-lifetime contract of
+    :func:`ngram_jaccard_pairs` applies).
     """
     hashed = simhash_table(docs, id_col, text_col, shingle_n, bits)
     pairs, _dropped = simhash_candidate_pairs(
-        hashed, bits, max_hamming, n_bands=n_bands, max_bucket=max_bucket
+        hashed, bits, max_hamming, n_bands=n_bands, max_bucket=max_bucket,
+        persist=persist,
     )
     return pairs

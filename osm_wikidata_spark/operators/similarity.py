@@ -186,6 +186,7 @@ def cosine_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 200,
+    persist: bool = True,
 ) -> DataFrame:
     """Approximate embedding-cosine near-dup pairs — the 100-TB path.
 
@@ -214,10 +215,12 @@ def cosine_near_dup_pairs_lsh(
     )
     # bucketed feeds the bucket-size count and both self-join sides;
     # persist (two scalar columns per row) so the hyperplane-signature
-    # pandas UDF runs once per vector, not ~4x
-    from pyspark import StorageLevel
+    # pandas UDF runs once per vector, not ~4x.  Cache-lifetime contract
+    # of dedup.ngram_jaccard_pairs applies; persist=False opts out.
+    if persist:
+        from pyspark import StorageLevel
 
-    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     kept, _dropped = cap_buckets(bucketed, ["bucket"], max_bucket)
     candidates = (
         kept.select(F.col("doc").alias("left_id"), "bucket")

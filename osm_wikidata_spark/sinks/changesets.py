@@ -65,8 +65,15 @@ def _update_one(
     elem.set("changeset", str(int(changeset_id)))
     ET.SubElement(elem, "tag", {"k": "wikidata", "v": qid})
     # add_wikipedia_tag (websocket.py:37-53): skip when a language-
-    # specific tag exists; overwrite a bare wikipedia tag; else append
-    if wiki_lang and root.find(f'.//tag[@k="wikipedia:{wiki_lang}"]') is None:
+    # specific tag exists; overwrite a bare wikipedia tag; else append.
+    # Both lang AND title must be present (the reference assumes title
+    # exists whenever lang does; a null title here must not produce a
+    # literal "en:None" tag value)
+    if (
+        wiki_lang
+        and wiki_title
+        and root.find(f'.//tag[@k="wikipedia:{wiki_lang}"]') is None
+    ):
         value = f"{wiki_lang}:{wiki_title}"
         existing = root.find('.//tag[@k="wikipedia"]')
         if existing is not None:
@@ -138,30 +145,61 @@ def parse_osm_change(payloads: DataFrame, col: str = "payload") -> DataFrame:
     model.ChangesetEdit's columns.  Pure JVM: explicit-schema
     ``from_xml`` + explodes; elements without a wikidata tag are dropped
     (the reference asserts they cannot occur in its own changesets).
+
+    Plan shape: the document is parsed ONCE per row.  ``from_xml`` sits
+    under an ``explode`` of a one-element array — a Generate node, which
+    CollapseProject cannot inline expressions through — and all nine
+    (action, kind) paths are folded into one tagged element array in a
+    single projection.  (A plain aliased projection would NOT protect
+    it: project collapsing re-inlines the from_xml into every consumer,
+    re-parsing each document nine times.)
     """
     parsed = payloads.select(
-        F.from_xml(F.col(col), OSMCHANGE_SCHEMA).alias("c")
+        F.explode(F.array(F.from_xml(F.col(col), OSMCHANGE_SCHEMA))).alias("c")
     )
-    per_kind = []
-    for action in ("create", "modify", "delete"):
-        act = parsed.select(F.explode(f"c.{action}").alias("a"))
-        for kind in _OSM_KINDS:
-            per_kind.append(
-                act.select(F.explode(f"a.{kind}").alias("e")).select(
-                    F.lit(kind).alias("osm_type"),
-                    F.col("e._changeset").cast("long").alias("changeset_id"),
-                    F.col("e._id").cast("long").alias("osm_id"),
-                    F.col("e._timestamp").alias("saved"),
-                    F.filter(
-                        F.col("e.tag"), lambda t: t["_k"] == "wikidata"
-                    ).alias("__wd"),
-                )
+
+    def _tagged(action: str, kind: str) -> F.Column:
+        """array<struct<osm_type, changeset, id, ts, tag>> for one path.
+
+        Both array levels coalesce null→[] — an absent action or kind
+        parses as null, and flatten/concat would otherwise null out the
+        whole row's element list."""
+
+        def pick(a):
+            return F.coalesce(a[kind], F.array())
+
+        def tag(e):
+            return F.struct(
+                F.lit(kind).alias("osm_type"),
+                e["_changeset"].alias("changeset"),
+                e["_id"].alias("id"),
+                e["_timestamp"].alias("ts"),
+                e["tag"].alias("tag"),
             )
-    union = per_kind[0]
-    for other in per_kind[1:]:
-        union = union.unionByName(other)
+
+        flat = F.flatten(
+            F.transform(F.coalesce(F.col(f"c.{action}"), F.array()), pick)
+        )
+        return F.transform(flat, tag)
+
+    all_elems = F.concat(
+        *[
+            _tagged(action, kind)
+            for action in ("create", "modify", "delete")
+            for kind in _OSM_KINDS
+        ]
+    )
+    elems = parsed.select(F.explode(all_elems).alias("e"))
+    wd = F.filter(F.col("e.tag"), lambda t: t["_k"] == "wikidata")
     return (
-        union.filter(F.size("__wd") > 0)
+        elems.select(
+            F.col("e.changeset").cast("long").alias("changeset_id"),
+            F.col("e.osm_type").alias("osm_type"),
+            F.col("e.id").cast("long").alias("osm_id"),
+            F.col("e.ts").alias("saved"),
+            wd.alias("__wd"),
+        )
+        .filter(F.size("__wd") > 0)
         .withColumn("item_id", F.substring(F.col("__wd")[0]["_v"], 2, 18).cast("long"))
         .select("changeset_id", "osm_type", "osm_id", "saved", "item_id")
     )

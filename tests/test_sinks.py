@@ -81,3 +81,34 @@ def test_parse_osm_change_roundtrip(spark):
         ("node", 55, 11, 42, "2026-01-01T00:00:00Z"),
         ("way", 55, 22, 7, "2026-01-02T00:00:00Z"),
     ]
+
+
+def test_parse_osm_change_absent_actions_and_kinds(spark):
+    """Documents missing whole actions/kinds parse as null arrays — the
+    null→[] coalescing must keep sibling elements alive (flatten/concat
+    would otherwise null the row out)."""
+    payloads = [
+        ('<osmChange><modify><node changeset="1" id="2" timestamp="T">'
+         '<tag k="wikidata" v="Q5"/></node></modify></osmChange>',),
+        ('<osmChange><create><way changeset="3" id="4" timestamp="T2">'
+         '<tag k="wikidata" v="Q6"/></way></create></osmChange>',),
+        ("<osmChange></osmChange>",),
+    ]
+    df = spark.createDataFrame(payloads, "payload string")
+    rows = sorted(
+        (r["osm_type"], r["changeset_id"], r["osm_id"], r["item_id"])
+        for r in parse_osm_change(df).collect()
+    )
+    assert rows == [("node", 1, 2, 5), ("way", 3, 4, 6)]
+
+
+def test_tag_elements_null_title(spark):
+    """wiki_lang set but wiki_title null must NOT emit a wikipedia tag
+    (the literal 'en:None' corruption)."""
+    df = spark.createDataFrame(
+        [("a", _element({"name": "X"}), "Q1", "en", None)],
+        "id string, element_xml string, qid string, wiki_lang string, wiki_title string",
+    )
+    row = tag_elements(df, changeset_id=1).collect()[0]
+    tags = {t.get("k") for t in ET.fromstring(row["element_data"]).iter("tag")}
+    assert tags == {"name", "wikidata"}
