@@ -21,6 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 from itertools import combinations
+from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -37,8 +38,18 @@ def cap_buckets(
     linear in corpus size — instead of the quadratic blow-up a degenerate
     corpus (billions of boilerplate near-identical docs) would cause.
     Recall loss is confined to members of those degenerate clusters, which
-    exact dedup already collapses; callers persist ``dropped`` to the audit
-    sink (see plans/audit.py) so the loss is observable, never silent.
+    exact dedup already collapses; the LSH entry points expose ``dropped``
+    via their ``dropped_sink`` callback so the loss is observable, never
+    silent.
+
+    Join strategy: the keep join is deliberately UNHINTED.  ``keep`` holds
+    every bucket with 2..max_bucket members — for MinHash the bucket key is
+    a raw xxhash64, so keep's cardinality grows LINEARLY with corpus size
+    and a forced ``F.broadcast(keep)`` would ship a multi-GB list to every
+    executor at 10^9 docs (the inverse of the hot-list pattern in
+    blocking.py, which broadcasts the provably-small oversized set).
+    Leaving it unhinted lets AQE broadcast when keep is actually small and
+    fall back to a shuffled join when it is not.
     """
     sizes = band_keys.groupBy(*key_cols).agg(F.count("*").alias("n"))
     if max_bucket is None:
@@ -49,7 +60,7 @@ def cap_buckets(
             (F.col("n") > 1) & (F.col("n") <= max_bucket)
         ).select(*key_cols)
         dropped = sizes.filter(F.col("n") > max_bucket).select(*key_cols, "n")
-    return band_keys.join(F.broadcast(keep), key_cols), dropped
+    return band_keys.join(keep, key_cols), dropped
 
 
 def normalize_text(col: str = "text") -> F.Column:
@@ -93,13 +104,21 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int = 50,
-    persist: bool = True,
+    persist: bool = False,
+    dropped_sink: Callable[[DataFrame], None] | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     rows = n_hashes / bands per band; a pair lands in a bucket when one whole
     band of its signatures agrees.  Returns (left_id, right_id, band) pairs
-    with left < right.
+    with left < right; ``band`` is the LOWEST band index that bucketed the
+    pair (deterministic, so value oracles can pin the candidate semantics).
+
+    ``dropped_sink`` receives the (band, bucket, n) frame of buckets dropped
+    by the ``max_bucket`` cap, so recall loss is observable (pass e.g. an
+    audit-table append); ``persist`` is opt-in — the cache entry outlives
+    this call (cache-lifetime contract of :func:`ngram_jaccard_pairs`), so
+    the OWNING plan layer enables it, not the library default.
     """
     rows_per_band = n_hashes // bands
     # flat explode + groupBy(min×n) instead of nested array expressions:
@@ -153,15 +172,17 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         band_keys = band_keys.persist(StorageLevel.MEMORY_AND_DISK)
-    kept, _dropped = cap_buckets(band_keys, ["band", "bucket"], max_bucket)
+    kept, dropped = cap_buckets(band_keys, ["band", "bucket"], max_bucket)
+    if dropped_sink is not None:
+        dropped_sink(dropped)
 
     left = kept.select(F.col("doc").alias("left_id"), "band", "bucket")
     right = kept.select(F.col("doc").alias("right_id"), "band", "bucket")
     return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "band")
-        .dropDuplicates(["left_id", "right_id"])
+        .groupBy("left_id", "right_id")
+        .agg(F.min("band").alias("band"))
     )
 
 
@@ -171,7 +192,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ ``threshold`` pairs via prefix filtering.
 
@@ -199,9 +220,11 @@ def ngram_jaccard_pairs(
     # the normalize/split/shingle pipeline over the full corpus (measured
     # ~2x query wall time at sf0.1).  CACHE-LIFETIME CONTRACT: the entry
     # lives in the session's CacheManager until the caller unpersists or
-    # clears the cache (e.g. spark.catalog.clearCache()); long-lived
-    # drivers invoking this repeatedly should do so between jobs, or pass
-    # persist=False and manage materialisation themselves.
+    # clears the cache (e.g. spark.catalog.clearCache()).  persist is
+    # OPT-IN (default False) precisely because of that leak: a long-lived
+    # driver calling the default path repeatedly would accumulate cache
+    # entries it never asked for; the OWNING plan layer (bench.py, the
+    # queries() registry) passes persist=True and clears between jobs.
     if persist:
         from pyspark import StorageLevel
 
@@ -467,20 +490,24 @@ def simhash_near_dups(
     bits: int = 60,
     n_bands: int | None = None,
     max_bucket: int | None = 200,
-    persist: bool = True,
+    persist: bool = False,
+    dropped_sink: Callable[[DataFrame], None] | None = None,
 ) -> DataFrame:
     """Near-dup pairs whose SimHashes are within ``max_hamming`` bits.
 
     Candidate generation keys on block combinations of the ``bits``-bit
     hash (see :func:`simhash_candidate_pairs` for the generalized-pigeonhole
     recall guarantee and the max_bucket linearity bound), then verifies
-    exact Hamming distance.  ``persist`` caches the owned (doc, sim)
-    table across its multiple consumers (cache-lifetime contract of
-    :func:`ngram_jaccard_pairs` applies).
+    exact Hamming distance.  ``persist`` (opt-in) caches the owned
+    (doc, sim) table across its multiple consumers (cache-lifetime contract
+    of :func:`ngram_jaccard_pairs` applies); ``dropped_sink`` receives the
+    (q, qv, n) frame of cap-dropped buckets so recall loss is observable.
     """
     hashed = simhash_table(docs, id_col, text_col, shingle_n, bits)
-    pairs, _dropped = simhash_candidate_pairs(
+    pairs, dropped = simhash_candidate_pairs(
         hashed, bits, max_hamming, n_bands=n_bands, max_bucket=max_bucket,
         persist=persist,
     )
+    if dropped_sink is not None:
+        dropped_sink(dropped)
     return pairs

@@ -15,6 +15,8 @@ driver's embeddings testdata in tests/test_operators.py.
 
 from __future__ import annotations
 
+from typing import Callable
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, StringType
@@ -130,6 +132,13 @@ def lsh_top_k(
     Per-table collision probability for angle θ is (1−θ/π)^n_planes; the
     union over tables lifts recall to 1−(1−p)^n_tables.  Tune n_tables up /
     n_planes down for recall, the reverse for candidate-set size.
+
+    SIZE ASSUMPTION: the query side is force-broadcast — correct for the
+    top-k-search shape this implements (queries ≪ corpus; each query row
+    carries n_tables bucket rows plus its vector, so e.g. 10k 768-dim
+    float64 queries ≈ 60 MB broadcast).  For query sets beyond ~10^5
+    vectors drop the hint or use :func:`cosine_near_dup_pairs_lsh`'s
+    self-join shape instead.
     """
     bucketed = vectors.withColumn(
         "bucket", F.explode(hyperplane_signatures(F.col(vec_col), n_planes, n_tables, seed))
@@ -186,7 +195,8 @@ def cosine_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 200,
-    persist: bool = True,
+    persist: bool = False,
+    dropped_sink: Callable[[DataFrame], None] | None = None,
 ) -> DataFrame:
     """Approximate embedding-cosine near-dup pairs — the 100-TB path.
 
@@ -214,14 +224,17 @@ def cosine_near_dup_pairs_lsh(
         ).alias("bucket"),
     )
     # bucketed feeds the bucket-size count and both self-join sides;
-    # persist (two scalar columns per row) so the hyperplane-signature
-    # pandas UDF runs once per vector, not ~4x.  Cache-lifetime contract
-    # of dedup.ngram_jaccard_pairs applies; persist=False opts out.
+    # persist (two scalar columns per row, OPT-IN — cache-lifetime contract
+    # of dedup.ngram_jaccard_pairs) so the hyperplane-signature pandas UDF
+    # runs once per vector, not ~4x.  dropped_sink receives the (bucket, n)
+    # frame of cap-dropped buckets so recall loss is observable.
     if persist:
         from pyspark import StorageLevel
 
         bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
-    kept, _dropped = cap_buckets(bucketed, ["bucket"], max_bucket)
+    kept, dropped = cap_buckets(bucketed, ["bucket"], max_bucket)
+    if dropped_sink is not None:
+        dropped_sink(dropped)
     candidates = (
         kept.select(F.col("doc").alias("left_id"), "bucket")
         .join(kept.select(F.col("doc").alias("right_id"), "bucket"), "bucket")
@@ -249,21 +262,37 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF cell assignment against a fixed centroid codebook (broadcast
-    literal).  The codebook would come from a sampled k-means offline; here
-    it is supplied by the caller, keeping the operator deterministic."""
-    scored = vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.array(
-            *[
-                cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
-                for c in centroids
-            ]
-        ).alias("cell_scores"),
-    )
-    return scored.select(
-        id_col,
-        vec_col,
-        (F.array_position("cell_scores", F.array_max("cell_scores")) - 1).alias("cell"),
+    """IVF cell assignment against a fixed centroid codebook.
+
+    The codebook would come from a sampled k-means offline; here it is
+    supplied by the caller, keeping the operator deterministic.  ``cell`` is
+    the argmax-cosine centroid index (first index on exact ties, matching
+    ``array_position(array_max)``).
+
+    Scale shape: the codebook ships WORKER-SIDE as a numpy matrix captured
+    in the pandas-UDF closure (PySpark auto-broadcasts large serialized
+    commands), NOT as ``F.lit`` column expressions — a realistic codebook
+    (4k-65k centroids x 768 dims) as plan literals would put a
+    multi-hundred-MB tree through Catalyst on every analysis pass.  Each
+    Arrow batch is scored with ONE ``(batch, dim) @ (dim, k)`` matmul, the
+    same pattern as :func:`hyperplane_signatures`' plane matrix.
+    """
+    import numpy as np
+
+    cb = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cb_norms = np.sqrt((cb * cb).sum(axis=1))
+    cb_norms[cb_norms == 0.0] = 1.0  # zero centroid scores 0 everywhere
+
+    @F.pandas_udf("long")
+    def _cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack(v.to_numpy())  # (batch, dim)
+        vec_norms = np.sqrt((mat * mat).sum(axis=1))
+        vec_norms[vec_norms == 0.0] = 1.0
+        sims = (mat @ cb.T) / (vec_norms[:, None] * cb_norms[None, :])
+        return pd.Series(sims.argmax(axis=1).astype("int64"))
+
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), _cell(F.col(vec_col)).alias("cell")
     )

@@ -408,3 +408,27 @@ def test_multimodal_features(spark):
     # deterministic across runs
     feats2 = extract_features(synth_media(spark, 12)).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_dropped_buckets_surfaced_via_sink(spark):
+    """The max_bucket cap must be observable: dropped_sink receives the
+    oversized-bucket audit frame on the convenience entry points."""
+    from osm_wikidata_spark.operators import dedup
+
+    # 30 identical docs flood every band bucket past max_bucket=5
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    seen: list = []
+    pairs = dedup.minhash_lsh_pairs(
+        docs, max_bucket=5, dropped_sink=seen.append
+    )
+    assert len(seen) == 1
+    dropped = seen[0].collect()
+    assert len(dropped) > 0 and all(r["n"] > 5 for r in dropped)
+    assert pairs.count() == 0  # every bucket oversized -> no candidates
+
+    seen2: list = []
+    dedup.simhash_near_dups(docs, max_bucket=5, dropped_sink=seen2.append)
+    assert len(seen2) == 1 and seen2[0].count() > 0

@@ -103,3 +103,55 @@ def test_brute_force_topk_broadcasts_queries(spark):
     )
     plan = _formatted_plan(similarity.brute_force_top_k(vecs, queries))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_keep_join_not_forced_broadcast(spark):
+    """cap_buckets' keep side must carry NO broadcast hint: for MinHash the
+    bucket keyspace is raw xxhash64, so keep's cardinality is linear in
+    corpus size and a forced broadcast would kill the driver at 10^9 docs.
+    AQE may still broadcast at runtime when keep is actually small — what
+    this pins is that the plan never FORCES it."""
+    from osm_wikidata_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id bigint, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(docs)
+    analyzed = pairs._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    optimized = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized
+
+
+def test_simhash_keep_join_not_forced_broadcast(spark):
+    """Same invariant for the SimHash combo-key path."""
+    from osm_wikidata_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id bigint, text string"
+    )
+    pairs = dedup.simhash_near_dups(docs)
+    assert "ResolvedHint" not in pairs._jdf.queryExecution().analyzed().toString()
+
+
+def test_ivf_codebook_stays_out_of_the_plan(spark):
+    """A realistic codebook (4096 x 256) must ship worker-side via the
+    pandas-UDF closure, not as F.lit plan literals — the literal form
+    would build a ~10^6-node Catalyst tree (multi-hundred-MB at 768 dims)
+    re-analyzed on every pass."""
+    from osm_wikidata_spark.operators import similarity
+
+    centroids = [
+        [1.0 if j == (k % 256) else 0.0 for j in range(256)] for k in range(4096)
+    ]
+    vecs = spark.createDataFrame(
+        [(1, [1.0] + [0.0] * 255)], "vec_id bigint, embedding array<double>"
+    )
+    assigned = similarity.ivf_assign(vecs, centroids)
+    plan = _formatted_plan(assigned)
+    assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time
+    analyzed = assigned._jdf.queryExecution().analyzed().toString()
+    assert len(analyzed) < 20_000, f"plan blew up: {len(analyzed)} chars"
+    rows = assigned.collect()
+    assert rows[0]["cell"] == 0  # argmax parity with the literal form
