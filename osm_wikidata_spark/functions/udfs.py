@@ -84,30 +84,60 @@ def name_decision_udf(
     )
 
 
+def _strip_house(endings: tuple | None, item_is_hamlet: bool) -> tuple | None:
+    """The reference's trim_house gate, per ITEM side: hamlets do not get
+    the "house" trim ending (matcher.py:1036-1046's
+    ``trim_house=not item.is_hamlet()``)."""
+    if item_is_hamlet and endings:
+        return tuple(e for e in endings if e != "house")
+    return endings
+
+
 @F.pandas_udf(DECISION_SCHEMA)
 def pair_decision_udf(
-    left: pd.Series, right: pd.Series, endings: pd.Series, places: pd.Series
+    left: pd.Series,
+    right: pd.Series,
+    endings: pd.Series,
+    places: pd.Series,
+    left_hamlet: pd.Series,
+    right_hamlet: pd.Series,
 ) -> pd.DataFrame:
     """Symmetric pair decision in ONE UDF call: try (left, right), fall
     back to (right, left).  The cascade is asymmetric (record-side-only
     retries like drop_initials, match.py:688-693), so symmetric workloads
     need both directions — evaluating them inside one call halves the
     Arrow transfers and Python invocations of two separate UDFs, and the
-    reverse direction short-circuits when the forward one matched."""
+    reverse direction short-circuits when the forward one matched.
+
+    The house-trim gate is PER-DIRECTION, mirroring the reference's
+    per-item ``trim_house=not item.is_hamlet()`` (matcher.py:1036-1046):
+    direction (l, r) treats ``r`` as the item side, so it drops the
+    "house" ending iff ``right_hamlet``; the reverse direction iff
+    ``left_hamlet``.  A hamlet paired with a non-hamlet "X House" entity
+    can therefore still merge via the direction whose item side is the
+    non-hamlet — a pair-level either-side fold would lose that asymmetry.
+    """
     out_matched, out_kind, out_rule = [], [], []
     memo: dict[tuple, tuple] = {}
-    for l, r, e, p in zip(left, right, endings, places):
+    for l, r, e, p, lh, rh in zip(
+        left, right, endings, places, left_hamlet, right_hamlet
+    ):
         e_key = tuple(e) if e is not None else None
         p_key = tuple(p) if p is not None else None
-        key = (l, r, e_key, p_key)
+        lh, rh = bool(lh), bool(rh)
+        key = (l, r, e_key, p_key, lh, rh)
         if key in memo:
             res = memo[key]
         else:
             decision = None
             if l is not None and r is not None:
-                decision = match_names(l, r, endings=e_key, place_names=p_key)
+                decision = match_names(
+                    l, r, endings=_strip_house(e_key, rh), place_names=p_key
+                )
                 if not decision:
-                    decision = match_names(r, l, endings=e_key, place_names=p_key)
+                    decision = match_names(
+                        r, l, endings=_strip_house(e_key, lh), place_names=p_key
+                    )
             res = (
                 (True, decision.kind, decision.rule)
                 if decision

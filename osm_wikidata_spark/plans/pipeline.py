@@ -193,14 +193,20 @@ def score_pairs(
     sep = "\x1f"
     global_endings = F.array(*[F.lit(e) for e in (endings or GLOBAL_ENDINGS)])
     empty = F.array().cast("array<string>")
+    # null array values coalesce to empty HERE so the fingerprint below
+    # cannot alias distinct shapes (concat_ws silently skips nulls:
+    # endings=null/places=["x"] and endings=["x"]/places=null would
+    # otherwise hash identically and rehydrate the wrong context)
     ent = entities.select(
         "conv_id",
         "names",
-        (F.col("endings") if "endings" in entities.columns else empty).alias(
-            "endings"
-        ),
         (
-            F.col("place_names")
+            F.coalesce(F.col("endings"), empty)
+            if "endings" in entities.columns
+            else empty
+        ).alias("endings"),
+        (
+            F.coalesce(F.col("place_names"), empty)
             if "place_names" in entities.columns
             else empty
         ).alias("place_names"),
@@ -213,17 +219,19 @@ def score_pairs(
     # Per-ENTITY context fingerprint, computed once per conversation (N
     # rows), not once per exploded candidate-name row: the pair decision is
     # a pure function of (left_name, right_name, endings ∪, places ∪,
-    # hamlet ∨), so the two entity fingerprints identify the decision
-    # inputs and NO array work rides the (much larger) pair explosion —
-    # pairs without entity context all share one fingerprint, preserving
-    # the Zipfian memo win.
+    # left/right hamlet flags), so the two entity fingerprints identify the
+    # decision inputs and NO array work rides the (much larger) pair
+    # explosion — pairs without entity context all share one fingerprint,
+    # preserving the Zipfian memo win.
+    # element separator (\x1e) differs from the field separator (\x1f) so
+    # array contents can never alias a field boundary
     ent = ent.withColumn(
         "ctx_fp",
         F.md5(
             F.concat_ws(
                 sep,
-                F.array_join(F.array_sort("endings"), sep),
-                F.array_join(F.array_sort("place_names"), sep),
+                F.array_join(F.array_sort("endings"), "\x1e"),
+                F.array_join(F.array_sort("place_names"), "\x1e"),
                 F.col("is_hamlet").cast("string"),
             )
         ),
@@ -272,11 +280,14 @@ def score_pairs(
 
     def _with_context(df: DataFrame) -> DataFrame:
         """Rehydrate the pair's decision context from the ctx dim and fold
-        it to pair level: trim set = GLOBAL ∪ both sides (matcher.py:641-656),
-        minus "house" when either side is a hamlet (matcher.py:1036-1046);
-        place context = union of both sides' within-context names
-        (matcher.py:714-720's ``place_names | within``), null when empty so
-        the UDF skips the place-strip retry (match.py:708-719).
+        it to pair level: trim set = GLOBAL ∪ both sides (matcher.py:641-656);
+        the hamlet house-trim gate stays PER-SIDE (left_hamlet/right_hamlet
+        booleans ride to the UDF, which applies the reference's per-item
+        ``trim_house=not item.is_hamlet()`` per direction,
+        matcher.py:1036-1046); place context = union of both sides'
+        within-context names (matcher.py:714-720's ``place_names | within``),
+        null when empty so the UDF skips the place-strip retry
+        (match.py:708-719).
 
         Shape: one LEFT join per side against the dim of NON-EMPTY
         contexts, coalescing misses (the overwhelming majority — the
@@ -313,19 +324,17 @@ def score_pairs(
         empty_arr = F.array().cast("array<string>")
         le, re_ = F.coalesce("le", empty_arr), F.coalesce("re", empty_arr)
         lp, rp = F.coalesce("lp", empty_arr), F.coalesce("rp", empty_arr)
-        hamlet = F.coalesce("lh", F.lit(False)) | F.coalesce("rh", F.lit(False))
         pair_endings = F.array_sort(
             F.array_union(global_endings, F.array_union(le, re_))
         )
-        pair_endings = F.when(
-            hamlet, F.array_remove(pair_endings, "house")
-        ).otherwise(pair_endings)
         pair_places = F.when(
             F.size(F.array_union(lp, rp)) > 0, F.array_sort(F.array_union(lp, rp))
         )
         return (
             out.withColumn("pair_endings", pair_endings)
             .withColumn("pair_places", pair_places)
+            .withColumn("left_hamlet", F.coalesce("lh", F.lit(False)))
+            .withColumn("right_hamlet", F.coalesce("rh", F.lit(False)))
             .drop("le", "lp", "lh", "re", "rp", "rh")
         )
 
@@ -334,7 +343,12 @@ def score_pairs(
     # UDF scores both directions INSIDE one call (pair_decision_udf): one
     # Arrow round-trip per row, reverse direction short-circuited on match
     decision = pair_decision_udf(
-        "left_name", "right_name", F.col("pair_endings"), F.col("pair_places")
+        "left_name",
+        "right_name",
+        F.col("pair_endings"),
+        F.col("pair_places"),
+        F.col("left_hamlet"),
+        F.col("right_hamlet"),
     )
 
     if dedup_names:

@@ -45,10 +45,12 @@ def _block_keys(name: str) -> set[str]:
     return keys
 
 
-def _pair_endings(a: str, b: str) -> set[str]:
-    """GLOBAL_ENDINGS plus both sides' derived endings, minus "house" when
-    either side is a hamlet — exactly what the pipeline's score_pairs
-    computes per pair (matcher.py:1036-1046's trim_house gate)."""
+def _dir_endings(a: str, b: str) -> set[str]:
+    """GLOBAL_ENDINGS plus both sides' derived endings for the direction
+    match_names(a, b), where ``b`` is the item side: "house" is discarded
+    iff the ITEM is a hamlet (matcher.py:1036-1046's per-item
+    ``trim_house=not item.is_hamlet()``) — exactly what the pipeline's
+    pair_decision_udf applies per direction."""
     endings = set(GLOBAL_ENDINGS)
     for name in (a, b):
         # raw name words, not blocking tokens: stopwords ("house") still
@@ -56,16 +58,15 @@ def _pair_endings(a: str, b: str) -> set[str]:
         for word in _SPLIT.split(name.lower()):
             if word:
                 endings.update(ENDING_RULES.get(word, ()))
-    if a in HAMLET_NAMES or b in HAMLET_NAMES:
+    if b in HAMLET_NAMES:
         endings.discard("house")
     return endings
 
 
 def _sym_match(a: str, b: str):
-    endings = _pair_endings(a, b)
     places = {p for n in (a, b) if (p := PLACE_CONTEXT.get(n))} or None
-    return match_names(a, b, endings, places) or match_names(
-        b, a, endings, places
+    return match_names(a, b, _dir_endings(a, b), places) or match_names(
+        b, a, _dir_endings(b, a), places
     )
 
 

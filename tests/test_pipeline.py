@@ -176,3 +176,55 @@ def test_acronym_channel_clusters_initials_group(spark):
     truth_map = {r["conv_id"]: r["group_id"] for r in truth.collect()}
     bac_components = {comp[c] for c, g in truth_map.items() if g == bac}
     assert len(bac_components) == 1, "initials group failed to cluster"
+
+
+def test_hamlet_house_trim_is_per_side(spark):
+    """The reference's trim_house gate is per-ITEM (matcher.py:1036-1046):
+    a hamlet paired with a NON-hamlet "X House" entity still merges via the
+    direction whose item side is the non-hamlet, while two hamlets never
+    get the house trim in either direction."""
+    from osm_wikidata_spark.plans.pipeline import score_pairs
+
+    entities = spark.createDataFrame(
+        [
+            ("h", [["Nutbourne"]][0], ["house"], [], True),
+            ("n", ["Nutbourne House"], ["house"], [], False),
+            ("h2", ["Nutbourne House"], ["house"], [], True),
+        ],
+        "conv_id string, names array<string>, endings array<string>, "
+        "place_names array<string>, is_hamlet boolean",
+    ).cache()
+    pairs = spark.createDataFrame(
+        [("h", "n", "k"), ("h", "h2", "k")],
+        "left_id string, right_id string, block_key string",
+    )
+    edges = {
+        (r["left_id"], r["right_id"]): r["matched"]
+        for r in score_pairs(pairs, entities).collect()
+    }
+    # hamlet vs non-hamlet house: direction with non-hamlet item trims -> match
+    assert edges[("h", "n")] is True
+    # hamlet vs hamlet house: no direction trims -> no match
+    assert edges[("h", "h2")] is False
+
+
+def test_ctx_fp_null_vs_empty_no_alias(spark):
+    """Null endings with non-null places must not fingerprint-collide with
+    the transposed shape (concat_ws skips nulls; the pipeline coalesces to
+    empty arrays before hashing)."""
+    from osm_wikidata_spark.plans.pipeline import score_pairs
+
+    entities = spark.createDataFrame(
+        [
+            ("a", ["Oakway"], None, ["Felbrigg"], False),
+            ("b", ["Oakway House"], ["house"], None, False),
+        ],
+        "conv_id string, names array<string>, endings array<string>, "
+        "place_names array<string>, is_hamlet boolean",
+    ).cache()
+    pairs = spark.createDataFrame(
+        [("a", "b", "k")], "left_id string, right_id string, block_key string"
+    )
+    rows = score_pairs(pairs, entities).collect()
+    # b's "house" ending must survive rehydration: the pair merges via trim
+    assert len(rows) == 1 and rows[0]["matched"] is True
