@@ -1383,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
     import json
 
+    from tests import _scale_oracle_fixtures as _sofix
     from tests.fixtures import ADDRESS_CASES, CHECK_CASES, EXTRACT_CASES, PAIR_CASES
 
     name_match_expected = [
@@ -1870,6 +1871,25 @@ def oracle_sql() -> dict[str, str]:
               FROM customer
             ) WHERE NOT regexp_matches(label, '^\d[0-9A-Z_]{13} Spring$')
         """,
-        # rows-only (non-SQL-expressible): q_dedup_minhash, q_dedup_simhash,
-        # q_embed_lsh_topk, q_er_pipeline, q_multimodal_features
+        # Precomputed VALUES oracles for the xxhash64/LSH family: DuckDB
+        # cannot evaluate Spark's xxhash64 or the seeded hyperplane planes,
+        # so the expected rows are computed by an INDEPENDENT pure-Python
+        # replica of the candidate semantics (scripts/gen_scale_oracles.py;
+        # xxHash64 re-implemented from the public spec in tests/xxh64_ref.py
+        # with Spark parity pinned by tests) over the sf0.01 snapshot —
+        # the same fixture-pinned pattern as q_name_match above.
+        "q_dedup_minhash": _sql_values(
+            _sofix.MINHASH_PAIRS, "left_id, right_id, band"
+        ),
+        "q_dedup_simhash": _sql_values(
+            _sofix.SIMHASH_PAIRS, "left_id, right_id, hamming"
+        ),
+        "q_embed_lsh_topk": _sql_values(
+            _sofix.EMBED_LSH_TOPK, "query_id, vec_id, cos"
+        ),
+        "q_dedup_embed_lsh": _sql_values(
+            _sofix.EMBED_LSH_PAIRS, "left_id, right_id, cos"
+        ),
+        # rows-only (non-SQL-expressible, end-to-end): q_er_pipeline,
+        # q_multimodal_features
     }

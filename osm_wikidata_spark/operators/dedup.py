@@ -1,13 +1,14 @@
 """Deduplication operators for large-scale document pipelines.
 
 Graft-new (driver mandate): exact, MinHash+LSH, SimHash, and n-gram Jaccard
-near-dup detection over a document table.  All deterministic.  Engine
-portability splits by operator: exact dedup and n-gram Jaccard key on md5
-hex strings / true shingles (identical in Spark and DuckDB → exact
-oracles); MinHash and SimHash key on Spark's xxhash64 (no DuckDB
-equivalent — an order of magnitude cheaper per shingle, and those two are
-approximate-by-design and checked by planted-duplicate/recall tests, not
-value oracles).
+near-dup detection over a document table.  All deterministic.  Exact dedup
+and n-gram Jaccard key on md5 hex strings / true shingles (identical in
+Spark and DuckDB → direct SQL oracles); MinHash and SimHash key on Spark's
+xxhash64 (an order of magnitude cheaper per shingle than seeded md5) and
+are pinned by precomputed VALUES oracles — an independent pure-Python
+replica of the candidate semantics (scripts/gen_scale_oracles.py, xxHash64
+from the public spec in tests/xxh64_ref.py) computes the expected pairs
+over the sf0.01 snapshot — plus planted-duplicate/recall tests.
 
 Scale notes:
 * exact dedup is one hash-shuffle on a 32-char key — the canonical pattern.

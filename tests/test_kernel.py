@@ -224,3 +224,30 @@ def test_is_in_range():
     assert normalize.is_in_range("27-29 Queen Square", "29 Queen Square")
     assert not normalize.is_in_range("27-29 Queen Square", "31 Queen Square")
     assert normalize.is_in_range("135 and 137 2nd Avenue", "137 2nd Avenue")
+
+
+def test_xxh64_ref_matches_spark(spark):
+    """tests/xxh64_ref.py (the pure-Python xxHash64 behind the generated
+    dedup oracles) must agree with F.xxhash64 on every path the dedup
+    operators use: string, int-literal + string chain, multi-long chain."""
+    from pyspark.sql import functions as F
+
+    from tests.xxh64_ref import xxhash64
+
+    strings = ["", "a", "word shingle text", "x" * 32, "héllo wörld ünïcode",
+               "the quick brown fox jumps over the lazy dog again and again"]
+    df = spark.createDataFrame([(s,) for s in strings], "s string").select(
+        "s",
+        F.xxhash64("s").alias("h1"),
+        F.xxhash64(F.lit(7), "s").alias("h2"),
+    )
+    for r in df.collect():
+        assert xxhash64(r["s"]) == r["h1"]
+        assert xxhash64(("int", 7), r["s"]) == r["h2"]
+    longs = [(1, -2, 3**20, -(5**25))]
+    row = (
+        spark.createDataFrame(longs, "a long, b long, c long, d long")
+        .select(F.xxhash64("a", "b", "c", "d").alias("h"))
+        .collect()[0]
+    )
+    assert xxhash64(*longs[0]) == row["h"]
