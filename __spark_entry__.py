@@ -648,7 +648,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), persist=True)
 
     def q_dedup_simhash(spark, sf):
-        return dedup.simhash_near_dups(_t(spark, sf, "documents"), persist=True)
+        # corpus_size drops the banding to classic k+1 when the corpus
+        # cannot flood the narrower keys (cheaper; output-identical while
+        # the max_bucket cap stays untriggered — see _default_n_bands)
+        docs = _t(spark, sf, "documents")
+        return dedup.simhash_near_dups(
+            docs, persist=True, corpus_size=docs.count()
+        )
 
     def q_embed_topk(spark, sf):
         emb = _t(spark, sf, "embeddings").select(

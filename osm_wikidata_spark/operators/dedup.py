@@ -383,12 +383,34 @@ def _band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
     return bounds
 
 
-def _default_n_bands(bits: int, max_hamming: int) -> int:
-    """Classic pigeonhole (k+1 bands) when single-band keys are already
-    ≥16 bits; otherwise Manku-style k+2 bands keyed on 2-band combos,
-    which widens keys to ``2·bits/(k+2)`` at the cost of C(k+2,2) tables."""
-    if bits // (max_hamming + 1) >= 16:
-        return max_hamming + 1
+def _default_n_bands(
+    bits: int,
+    max_hamming: int,
+    corpus_size: int | None = None,
+    max_bucket: int | None = None,
+) -> int:
+    """Pick the banding scheme by key capacity.
+
+    Classic pigeonhole (k+1 bands, 1-block keys) when single-band keys are
+    already ≥16 bits, OR when the corpus is small enough that the narrow
+    keys cannot flood: with the smallest k+1 block width ``w``, expected
+    bucket population is ~``N / 2^w``, so ``N·4 ≤ 2^w · max_bucket`` keeps
+    even 4x-skewed buckets under the cap (k+1 runs ~C(m,2)/m times fewer
+    table rows — measurably cheaper).  Otherwise Manku-style k+2 bands
+    keyed on 2-block combos (Manku WWW'07 §3), which widens keys to
+    ``2·bits/(k+2)`` at the cost of C(k+2,2) tables — the linear-in-N
+    candidate guarantee at corpus scale.
+    """
+    k1 = max_hamming + 1
+    min_width = bits // k1
+    if min_width >= 16:
+        return k1
+    if (
+        corpus_size is not None
+        and max_bucket is not None
+        and corpus_size * 4 <= (1 << min_width) * max_bucket
+    ):
+        return k1
     return max_hamming + 2
 
 
@@ -493,6 +515,7 @@ def simhash_near_dups(
     max_bucket: int | None = 200,
     persist: bool = False,
     dropped_sink: Callable[[DataFrame], None] | None = None,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs whose SimHashes are within ``max_hamming`` bits.
 
@@ -503,7 +526,15 @@ def simhash_near_dups(
     (doc, sim) table across its multiple consumers (cache-lifetime contract
     of :func:`ngram_jaccard_pairs` applies); ``dropped_sink`` receives the
     (q, qv, n) frame of cap-dropped buckets so recall loss is observable.
+
+    ``corpus_size`` (the caller's known or counted N) lets the default
+    banding drop to the cheaper classic k+1 scheme when the corpus cannot
+    flood its narrower keys — see :func:`_default_n_bands`; the exact
+    Hamming verification makes the OUTPUT banding-invariant whenever the
+    ``max_bucket`` cap does not trigger.
     """
+    if n_bands is None:
+        n_bands = _default_n_bands(bits, max_hamming, corpus_size, max_bucket)
     hashed = simhash_table(docs, id_col, text_col, shingle_n, bits)
     pairs, dropped = simhash_candidate_pairs(
         hashed, bits, max_hamming, n_bands=n_bands, max_bucket=max_bucket,

@@ -116,8 +116,16 @@ def _band_bounds(bits: int, n_bands: int):
     return bounds
 
 
-def simhash_pairs(docs, shingle_n=3, max_hamming=6, bits=60, n_bands=8,
+def simhash_pairs(docs, shingle_n=3, max_hamming=6, bits=60, n_bands=None,
                   max_bucket=200):
+    if n_bands is None:
+        # mirror of dedup._default_n_bands with corpus_size=len(docs), the
+        # banding config q_dedup_simhash selects at runtime
+        min_width = bits // (max_hamming + 1)
+        if min_width >= 16 or len(docs) * 4 <= (1 << min_width) * max_bucket:
+            n_bands = max_hamming + 1
+        else:
+            n_bands = max_hamming + 2
     t = n_bands - max_hamming
     bounds = _band_bounds(bits, n_bands)
     combos = list(combinations(range(n_bands), t))

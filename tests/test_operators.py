@@ -432,3 +432,15 @@ def test_dropped_buckets_surfaced_via_sink(spark):
     seen2: list = []
     dedup.simhash_near_dups(docs, max_bucket=5, dropped_sink=seen2.append)
     assert len(seen2) == 1 and seen2[0].count() > 0
+
+
+def test_default_n_bands_corpus_aware():
+    """Banding auto-select: k+1 when keys are wide or the corpus cannot
+    flood them (4x-skew margin under max_bucket), else Manku k+2."""
+    from osm_wikidata_spark.operators.dedup import _default_n_bands
+
+    assert _default_n_bands(60, 6) == 8  # unknown corpus -> scale-safe k+2
+    assert _default_n_bands(60, 6, corpus_size=5_000, max_bucket=200) == 7
+    assert _default_n_bands(60, 6, corpus_size=12_800, max_bucket=200) == 7
+    assert _default_n_bands(60, 6, corpus_size=10**6, max_bucket=200) == 8
+    assert _default_n_bands(128, 7) == 8  # 16-bit single blocks suffice
