@@ -55,6 +55,8 @@ HEADLINE = [
     "q_name_match",
     "q_reduce_candidates",
     "q_reject_reasons",
+    "q_entity_payload_parse",
+    "q_osm_changeset_edits",
     "q_er_pipeline",
 ]
 
