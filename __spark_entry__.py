@@ -636,6 +636,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fingerprint", "n_docs", F.array_join("doc_ids", ",").alias("doc_ids")
         )
 
+    def q_dedup_canonical(spark, sf):
+        # duplicate_mapping: per-row canonical mapping (the collect_list-free
+        # scale shape).  sf testdata has no byte-identical documents, so the
+        # corpus is unioned with derived copies (doc_id+100000 for every 7th
+        # doc) — SQL-expressible, so the oracle covers non-trivial groups.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        return dedup.duplicate_mapping(docs.unionByName(dups))
+
     def q_dedup_ngram_jaccard(spark, sf):
         # persist=True: the queries() registry is the owning plan layer
         # (bench.py clears the cache between reps; the correctness gate runs
@@ -1363,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_existing_links": q_existing_links,
         "q_result_assembly": q_result_assembly,
         "q_dedup_exact": q_dedup_exact,
+        "q_dedup_canonical": q_dedup_canonical,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
@@ -1374,9 +1386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
-        "q_fingerprint": q_fingerprint,
         "q_multimodal_features": q_multimodal_features,
         # --- derivative shapes, driver-green in r01-r03 archives ---
+        "q_fingerprint": q_fingerprint,
         "q_parse_group": q_parse_group,
         "q_get_names": q_get_names,
         "q_norm_url": q_norm_url,
@@ -1630,6 +1642,23 @@ def oracle_sql() -> dict[str, str]:
                          md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
                   FROM documents)
             GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        "q_dedup_canonical": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id % 7 = 0
+            ), fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+              FROM corpus
+            )
+            SELECT doc_id, fingerprint,
+                   min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+                   CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size
+            FROM fp
+            QUALIFY group_size > 1
         """,
         "q_dedup_ngram_jaccard": """
             WITH d AS (

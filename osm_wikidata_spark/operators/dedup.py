@@ -85,6 +85,36 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def duplicate_mapping(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-dedup output in its scale shape: one row PER DOCUMENT of a
+    duplicate group — (doc_id, fingerprint, canonical_id, group_size).
+
+    :func:`exact_duplicates` collects each group's ids into one array row,
+    which is the right shape for small audit outputs but a scale hazard on
+    a degenerate corpus: 10^8 boilerplate copies of one page would
+    materialise as a single multi-GB array in one task.  This variant keeps
+    everything columnar — two window aggregates over the fingerprint
+    shuffle, no arrays — and directly drives the standard training-data
+    policy "keep one representative, drop the rest":
+    ``filter(doc_id != canonical_id)`` is the drop list.
+    ``canonical_id`` = min doc_id per fingerprint (deterministic).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(normalize_text(text_col)).alias("fingerprint"),
+        )
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") > 1)
+    )
+
+
 def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of the normalised text."""
     words = F.split(normalize_text(text_col), " ")

@@ -444,3 +444,19 @@ def test_default_n_bands_corpus_aware():
     assert _default_n_bands(60, 6, corpus_size=12_800, max_bucket=200) == 7
     assert _default_n_bands(60, 6, corpus_size=10**6, max_bucket=200) == 8
     assert _default_n_bands(128, 7) == 8  # 16-bit single blocks suffice
+
+
+def test_duplicate_mapping_scale_shape(spark):
+    """duplicate_mapping: per-row canonical mapping with no arrays — the
+    drop list is doc_id != canonical_id, singletons are absent."""
+    from osm_wikidata_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "Same   TEXT"), (3, "unique"), (4, "same text")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.duplicate_mapping(docs).collect()}
+    assert set(rows) == {1, 2, 4}  # singleton 3 absent
+    assert all(r["canonical_id"] == 1 and r["group_size"] == 3 for r in rows.values())
+    drop = [d for d, r in rows.items() if d != r["canonical_id"]]
+    assert sorted(drop) == [2, 4]
