@@ -661,7 +661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_simhash(spark, sf):
         # corpus_size drops the banding to classic k+1 when the corpus
         # cannot flood the narrower keys (cheaper; output-identical while
-        # the max_bucket cap stays untriggered — see _default_n_bands)
+        # the max_bucket cap stays untriggered — see _default_n_bands).
+        # The count() is an extra scan that deliberately rides the measured
+        # query cost: a real pipeline must also pay for knowing N, and the
+        # bench numbers stay honest about it.
         docs = _t(spark, sf, "documents")
         return dedup.simhash_near_dups(
             docs, persist=True, corpus_size=docs.count()
@@ -1331,7 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries that most need a driver-archived row: the 15 that shipped in
     # rounds 2-3 without one (G/V family, S8/S9/S12, media ops — replica-
     # green twice but never driver-recorded) followed by the 35 marquee
-    # operator/bench queries.  The tail 15 are trivially-derivative queries
+    # operator/bench queries.  The tail 16 are trivially-derivative queries
     # (single filter/agg shapes) whose operators stay covered by other green
     # rows and which already carry driver-green rows in CORRECTNESS_r01-r03.
     return {

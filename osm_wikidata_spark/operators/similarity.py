@@ -283,15 +283,23 @@ def ivf_assign(
     cb_norms = np.sqrt((cb * cb).sum(axis=1))
     cb_norms[cb_norms == 0.0] = 1.0  # zero centroid scores 0 everywhere
 
+    dim = cb.shape[1]
+
     @F.pandas_udf("long")
     def _cell(v: pd.Series) -> pd.Series:
         if len(v) == 0:
-            return pd.Series([], dtype="int64")
-        mat = np.stack(v.to_numpy())  # (batch, dim)
-        vec_norms = np.sqrt((mat * mat).sum(axis=1))
-        vec_norms[vec_norms == 0.0] = 1.0
-        sims = (mat @ cb.T) / (vec_norms[:, None] * cb_norms[None, :])
-        return pd.Series(sims.argmax(axis=1).astype("int64"))
+            return pd.Series([], dtype="Int64")
+        # null or dimension-mismatched vectors yield a null cell (the
+        # column-expression form's behaviour) instead of failing the task
+        valid = v.map(lambda x: x is not None and len(x) == dim)
+        out = pd.array([pd.NA] * len(v), dtype="Int64")
+        if valid.any():
+            mat = np.stack(v[valid].to_numpy())  # (batch, dim)
+            vec_norms = np.sqrt((mat * mat).sum(axis=1))
+            vec_norms[vec_norms == 0.0] = 1.0
+            sims = (mat @ cb.T) / (vec_norms[:, None] * cb_norms[None, :])
+            out[valid.to_numpy()] = sims.argmax(axis=1).astype("int64")
+        return pd.Series(out, dtype="Int64")
 
     return vectors.select(
         F.col(id_col), F.col(vec_col), _cell(F.col(vec_col)).alias("cell")

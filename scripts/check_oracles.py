@@ -75,6 +75,23 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
+    # staleness guard for the generated VALUES oracles: they are valid only
+    # for the exact parquet snapshot they were computed from
+    import hashlib
+
+    from tests import _scale_oracle_fixtures as _sofix
+
+    fp = hashlib.md5()
+    for f in ("documents.parquet", "embeddings.parquet"):
+        fp.update(open(f"{SF_DIR}/{f}", "rb").read())
+    if fp.hexdigest() != _sofix.SF001_FINGERPRINT:
+        print(
+            f"WARNING: {SF_DIR} does not match the snapshot behind "
+            "tests/_scale_oracle_fixtures.py — the minhash/simhash/embed-LSH "
+            "VALUES oracles will fail; regenerate with "
+            "scripts/gen_scale_oracles.py"
+        )
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []

@@ -460,3 +460,20 @@ def test_duplicate_mapping_scale_shape(spark):
     assert all(r["canonical_id"] == 1 and r["group_size"] == 3 for r in rows.values())
     drop = [d for d, r in rows.items() if d != r["canonical_id"]]
     assert sorted(drop) == [2, 4]
+
+
+def test_ivf_assign_null_and_ragged_vectors(spark):
+    """Null or dimension-mismatched embeddings yield a null cell, never a
+    task failure (parity with the old column-expression form)."""
+    from osm_wikidata_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0, 5.0]), (4, [0.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(vecs, [[1.0, 0.0], [0.0, 1.0]]).collect()
+    }
+    assert rows[1] == 0 and rows[4] == 1
+    assert rows[2] is None and rows[3] is None
