@@ -477,3 +477,31 @@ def test_ivf_assign_null_and_ragged_vectors(spark):
     }
     assert rows[1] == 0 and rows[4] == 1
     assert rows[2] is None and rows[3] is None
+
+
+def test_dropped_sink_wires_into_audit_table(spark, tmp_path):
+    """End-to-end observability: the dropped_sink callback composes with
+    plans.audit.append_audit, so cap-induced recall loss lands in the
+    run's audit directory like every other stage metric."""
+    from pyspark.sql import functions as F
+
+    from osm_wikidata_spark.operators import dedup
+    from osm_wikidata_spark.plans.audit import append_audit
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    run_dir = str(tmp_path)
+    dedup.minhash_lsh_pairs(
+        docs,
+        max_bucket=5,
+        dropped_sink=lambda d: append_audit(
+            d.select(F.lit("r1").alias("run_id"), "band", "bucket", "n"),
+            run_dir,
+            "dropped_buckets",
+        ),
+    ).count()
+    audit = spark.read.parquet(f"{run_dir}/audit/dropped_buckets")
+    rows = audit.collect()
+    assert len(rows) > 0 and all(r["n"] > 5 and r["run_id"] == "r1" for r in rows)
