@@ -72,7 +72,11 @@ def normalize_text(col: str = "text") -> F.Column:
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalised) documents.
 
-    Returns (fingerprint, n_docs, doc_ids) for groups with n_docs > 1.
+    Returns (fingerprint, n_docs, doc_ids) for groups with n_docs > 1 —
+    the audit/report shape.  The per-group id array is a deliberate
+    small-output choice; for the policy path over degenerate corpora
+    (where one group can hold 10^8 members) use :func:`duplicate_mapping`,
+    which stays columnar.
     """
     return (
         docs.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fingerprint"))

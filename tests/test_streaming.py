@@ -288,3 +288,41 @@ def test_streaming_query_runs(spark, tmp_path):
     edges = spark.read.parquet(edges_dir)
     assert edges.count() > 0
     assert "batch_id" in edges.columns
+
+
+def test_exact_dedup_stream_bounded_state(spark, tmp_path):
+    """Streaming exact dedup: one representative per fingerprint within the
+    watermark; streaming output (availableNow) carries no fingerprint seen
+    twice, and every batch fingerprint survives."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osm_wikidata_spark.streaming.dedup import exact_dedup_stream
+
+    rows = []
+    for i in range(40):
+        # 20 distinct texts, each duplicated once 30 s later
+        rows.append((i, f"document text {i % 20}", 1700000000 + (i % 20) * 60 + (i // 20) * 30))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, epoch bigint").select(
+        "doc_id", "text", F.timestamp_seconds("epoch").alias("ts")
+    )
+    src = os.path.join(str(tmp_path), "docs_src")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string, ts timestamp").parquet(src)
+    out_dir = os.path.join(str(tmp_path), "dd_out")
+    ckpt = os.path.join(str(tmp_path), "dd_ckpt")
+    q = (
+        exact_dedup_stream(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out_dir).collect()
+    fps = [r["fingerprint"] for r in streamed]
+    assert len(fps) == len(set(fps)) == 20  # one per distinct text, no dupes
