@@ -234,8 +234,19 @@ def test_xxh64_ref_matches_spark(spark):
 
     from tests.xxh64_ref import xxhash64
 
+    import random
+
+    rng = random.Random(20260817)
+    alphabet = "abcdefghij ABC0123 é漢字ß"
     strings = ["", "a", "word shingle text", "x" * 32, "héllo wörld ünïcode",
                "the quick brown fox jumps over the lazy dog again and again"]
+    # randomized lengths straddling the 8/4-byte tail steps and the 32-byte
+    # stripe boundary of the xxHash64 core loop
+    strings += [
+        "".join(rng.choice(alphabet) for _ in range(n))
+        for n in list(range(1, 40)) + [63, 64, 65, 100]
+        for _ in range(3)
+    ]
     df = spark.createDataFrame([(s,) for s in strings], "s string").select(
         "s",
         F.xxhash64("s").alias("h1"),
