@@ -732,6 +732,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.col("cell").cast("int").alias("cell")
         )
 
+    def q_ivf_topk(spark, sf):
+        # IVF search: one-hot codebook so cell assignment and the probe
+        # ranking are SQL-expressible (argmax / top-nprobe of components);
+        # nprobe=2 of 4 cells halves the rerank candidates vs brute force
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        centroids = [[1.0 if j == c else 0.0 for j in range(64)] for c in range(4)]
+        return similarity.ivf_top_k(emb, queries_df, centroids, k=5, nprobe=2)
+
     def q_token_count(spark, sf):
         return _t(spark, sf, "documents").select(
             "doc_id", textstats.token_count().alias("n_tokens")
@@ -1334,7 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries that most need a driver-archived row: the 15 that shipped in
     # rounds 2-3 without one (G/V family, S8/S9/S12, media ops — replica-
     # green twice but never driver-recorded) followed by the 35 marquee
-    # operator/bench queries.  The tail 16 are trivially-derivative queries
+    # operator/bench queries.  The tail 17 are trivially-derivative queries
     # (single filter/agg shapes) whose operators stay covered by other green
     # rows and which already carry driver-green rows in CORRECTNESS_r01-r03.
     return {
@@ -1386,11 +1399,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embed": q_dedup_embed,
         "q_dedup_embed_lsh": q_dedup_embed_lsh,
         "q_ivf_assign": q_ivf_assign,
+        "q_ivf_topk": q_ivf_topk,
         "q_token_count": q_token_count,
-        "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_multimodal_features": q_multimodal_features,
         # --- derivative shapes, driver-green in r01-r03 archives ---
+        "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_parse_group": q_parse_group,
         "q_get_names": q_get_names,
@@ -1742,6 +1756,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    CAST(list_position(comp, list_max(comp)) - 1 AS INTEGER) AS cell
             FROM s
+        """,
+        "q_ivf_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            comp AS (SELECT vec_id, v, [v[1], v[2], v[3], v[4]] AS c4 FROM e),
+            assigned AS (
+              SELECT vec_id, v, list_position(c4, list_max(c4)) - 1 AS cell
+              FROM comp
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv, c4 AS qc4 FROM comp WHERE vec_id < 5),
+            probes AS (
+              SELECT query_id, qv, t.idx - 1 AS cell,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY qc4[t.idx] DESC, t.idx) AS rn
+              FROM q CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS idx) t
+            ),
+            scored AS (
+              SELECT p.query_id, a.vec_id,
+                     round(list_cosine_similarity(a.v, p.qv), 6) AS cos
+              FROM probes p JOIN assigned a USING (cell)
+              WHERE p.rn <= 2
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, vec_id) AS r
+              FROM scored
+            )
+            SELECT query_id, vec_id, cos FROM ranked WHERE r <= 5
         """,
         "q_dedup_embed": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

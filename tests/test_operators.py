@@ -505,3 +505,30 @@ def test_dropped_sink_wires_into_audit_table(spark, tmp_path):
     audit = spark.read.parquet(f"{run_dir}/audit/dropped_buckets")
     rows = audit.collect()
     assert len(rows) > 0 and all(r["n"] > 5 and r["run_id"] == "r1" for r in rows)
+
+
+def test_ivf_topk_degenerates_to_brute_force_at_full_probe(spark):
+    """nprobe = n_cells probes every cell, so ivf_top_k must equal the
+    exact brute-force top-k; at nprobe=1 results come only from the
+    query's own best cell."""
+    from osm_wikidata_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = vecs.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    centroids = [[1.0 if j == c else 0.0 for j in range(8)] for c in range(4)]
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in similarity.brute_force_top_k(vecs, queries, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in similarity.ivf_top_k(vecs, queries, centroids, k=5, nprobe=4).collect()
+    }
+    assert full == exact
+    partial = similarity.ivf_top_k(vecs, queries, centroids, k=5, nprobe=1).collect()
+    assert 0 < len(partial) <= 15  # at most k per query, only one cell probed
