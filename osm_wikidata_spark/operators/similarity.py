@@ -98,18 +98,26 @@ def hyperplane_signatures(
 
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        mat = np.stack(v.to_numpy())  # (batch, dim)
-        planes = _planes(seed, mat.shape[1], n_tables * n_planes)
-        bits = (mat @ planes.T >= 0).astype(np.uint8)  # (batch, T*P)
-        out = []
-        for row in bits:
-            out.append(
+        # null vectors (or a ragged batch) get an empty bucket list — they
+        # are unfindable rather than failing the task; majority-shape rows
+        # batch through one matmul
+        lens = v.map(lambda x: -1 if x is None else len(x))
+        dim = int(lens.max())
+        out = pd.Series([[] for _ in range(len(v))], dtype=object)
+        valid = (lens == dim).to_numpy()
+        if dim > 0 and valid.any():
+            mat = np.stack(v[valid].to_numpy())  # (batch, dim)
+            planes = _planes(seed, dim, n_tables * n_planes)
+            bits = (mat @ planes.T >= 0).astype(np.uint8)  # (batch, T*P)
+            sigs = [
                 [
                     f"{t}:" + "".join(map(str, row[t * n_planes : (t + 1) * n_planes]))
                     for t in range(n_tables)
                 ]
-            )
-        return pd.Series(out)
+                for row in bits
+            ]
+            out[valid] = pd.Series(sigs, index=out.index[valid], dtype=object)
+        return out
 
     return _sig(vec_col)
 

@@ -532,3 +532,19 @@ def test_ivf_topk_degenerates_to_brute_force_at_full_probe(spark):
     assert full == exact
     partial = similarity.ivf_top_k(vecs, queries, centroids, k=5, nprobe=1).collect()
     assert 0 < len(partial) <= 15  # at most k per query, only one cell probed
+
+
+def test_lsh_signatures_null_safe(spark):
+    """Null embeddings get no buckets (unfindable) instead of failing the
+    task; valid rows in the same batch keep their normal signatures."""
+    from osm_wikidata_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.5]), (2, None), (3, [0.2, -0.4])],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = similarity.cosine_near_dup_pairs_lsh(
+        vecs, threshold=-1.0, n_planes=2, n_tables=4
+    ).collect()
+    ids = {r["left_id"] for r in pairs} | {r["right_id"] for r in pairs}
+    assert 2 not in ids  # null vector bucketed nowhere
