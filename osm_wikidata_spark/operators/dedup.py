@@ -113,6 +113,9 @@ def duplicate_mapping(
             F.col(id_col).alias("doc_id"),
             F.md5(normalize_text(text_col)).alias("fingerprint"),
         )
+        # null-text docs have no fingerprint; they are not duplicates of
+        # each other (a null group would otherwise cluster them all)
+        .filter(F.col("fingerprint").isNotNull())
         .withColumn("canonical_id", F.min("doc_id").over(w))
         .withColumn("group_size", F.count("*").over(w))
         .filter(F.col("group_size") > 1)

@@ -548,3 +548,14 @@ def test_lsh_signatures_null_safe(spark):
     ).collect()
     ids = {r["left_id"] for r in pairs} | {r["right_id"] for r in pairs}
     assert 2 not in ids  # null vector bucketed nowhere
+
+
+def test_duplicate_mapping_ignores_null_text(spark):
+    from osm_wikidata_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x")],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.duplicate_mapping(docs).collect()
+    assert {r["doc_id"] for r in rows} == {3, 4}  # null texts never cluster
