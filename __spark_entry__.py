@@ -720,6 +720,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, threshold=0.4, n_planes=3, n_tables=12, persist=True
         )
 
+    def q_dedup_fuzzy_clusters(spark, sf):
+        # fuzzy-dedup pipeline stage: exact n-gram Jaccard pairs ->
+        # transitive clustering -> per-doc canonical mapping (the
+        # SlimPajama/Dolma "keep one representative per near-dup cluster"
+        # shape).  Fully SQL-expressible: the oracle replays the shingle
+        # join and closes the edge set with an undirected recursive CTE.
+        pairs = dedup.ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), shingle_n=3, threshold=0.5, persist=True
+        )
+        return dedup.near_dup_clusters(pairs).select(
+            "doc_id", "canonical_id", F.col("cluster_size").cast("bigint").alias("cluster_size")
+        )
+
+    def q_dedup_embed_clusters(spark, sf):
+        # semantic-dedup pipeline stage (SemDeDup shape): embedding-cosine
+        # near-dup pairs -> transitive clustering -> canonical mapping
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        pairs = similarity.cosine_near_dup_pairs(emb, threshold=0.4)
+        return dedup.near_dup_clusters(pairs).select(
+            "doc_id", "canonical_id", F.col("cluster_size").cast("bigint").alias("cluster_size")
+        )
+
     def q_ivf_assign(spark, sf):
         # IVF cell assignment against a fixed one-hot codebook; with
         # one-hot centroids argmax(cosine) == argmax(component), which the
@@ -1421,6 +1445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_window": q_topk_window,
         "q_scan_records": q_scan_records,
         "q_addr_node": q_addr_node,
+        # --- round-4 late additions (appended: the first-50 driver window
+        # above must keep its ordering) ---
+        "q_dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
+        "q_dedup_embed_clusters": q_dedup_embed_clusters,
     }
 
 
@@ -1790,6 +1818,66 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        """,
+        # undirected transitive closure: unlike q_connected_components'
+        # chain fixture (where the component minimum is reachable by
+        # descending edges alone), near-dup graphs are arbitrary, so the
+        # reach CTE walks BOTH edge directions
+        "q_dedup_fuzzy_clusters": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                                    FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS s
+              FROM d
+            ),
+            inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+            common AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     a.n AS left_n, b.n AS right_n, count(*) AS c
+              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            ),
+            edges AS (
+              SELECT left_id AS u, right_id AS v FROM common
+              WHERE c / (left_n + right_n - c) >= 0.5
+            ),
+            bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+            nodes AS (SELECT DISTINCT u AS node FROM bidir),
+            reach AS (
+              SELECT node, node AS cur FROM nodes
+              UNION
+              SELECT r.node, b.v FROM reach r JOIN bidir b ON b.u = r.cur
+            ),
+            comp AS (SELECT node AS doc_id, min(cur) AS canonical_id FROM reach GROUP BY node)
+            SELECT doc_id, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+            FROM comp
+        """,
+        "q_dedup_embed_clusters": """
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            edges AS (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+            ),
+            bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+            nodes AS (SELECT DISTINCT u AS node FROM bidir),
+            reach AS (
+              SELECT node, node AS cur FROM nodes
+              UNION
+              SELECT r.node, b.v FROM reach r JOIN bidir b ON b.u = r.cur
+            ),
+            comp AS (SELECT node AS doc_id, min(cur) AS canonical_id FROM reach GROUP BY node)
+            SELECT doc_id, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+            FROM comp
         """,
         "q_name_match": _sql_values(
             name_match_expected, "pair_id, matched"

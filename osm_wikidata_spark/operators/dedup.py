@@ -122,6 +122,45 @@ def duplicate_mapping(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Transitive near-duplicate clusters over a candidate-pair edge set —
+    the fuzzy analogue of :func:`duplicate_mapping`.
+
+    Composes any pair generator in this family (:func:`ngram_jaccard_pairs`,
+    :func:`minhash_lsh_pairs`, :func:`simhash_near_dups`,
+    ``similarity.cosine_near_dup_pairs``) with large-star/small-star
+    connected components (operators/components.py) and returns the
+    scale-shaped per-document mapping ``(doc_id, canonical_id,
+    cluster_size)``: ``canonical_id`` is the minimum doc id of the
+    component (deterministic), and ``filter(doc_id != canonical_id)`` is
+    the standard "keep one representative, drop the rest" list.  Every
+    returned row belongs to a cluster of >= 2 because nodes enter only via
+    an edge.
+
+    Scale shape: the edge set is already bounded by the pair generator's
+    bucket caps; CC is O(log^2 n) shuffle rounds on (u, v) longs; the
+    cluster_size window is one extra shuffle on the component key and
+    stays columnar (no per-cluster arrays), so a degenerate
+    10^8-member boilerplate cluster costs one skewed-but-scalar partition,
+    not a multi-GB array row.
+    """
+    from pyspark.sql.window import Window
+
+    from .components import connected_components
+
+    cc = connected_components(pairs, src=left_col, dst=right_col)
+    w = Window.partitionBy("component")
+    return cc.withColumn("cluster_size", F.count("*").over(w)).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )
+
+
 def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of the normalised text."""
     words = F.split(normalize_text(text_col), " ")

@@ -559,3 +559,30 @@ def test_duplicate_mapping_ignores_null_text(spark):
     )
     rows = dedup.duplicate_mapping(docs).collect()
     assert {r["doc_id"] for r in rows} == {3, 4}  # null texts never cluster
+
+
+def test_near_dup_clusters_transitive(spark):
+    """near_dup_clusters closes candidate pairs transitively: A~B and B~C
+    cluster A,B,C together even though (A,C) is not a pair; canonical is
+    the cluster minimum and singletons never appear."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (50, 40)],
+        "left_id bigint, right_id bigint",
+    )
+    rows = {r["doc_id"]: r for r in dedup.near_dup_clusters(pairs).collect()}
+    assert set(rows) == {10, 20, 30, 40, 50}
+    assert all(rows[d]["canonical_id"] == 10 and rows[d]["cluster_size"] == 3
+               for d in (10, 20, 30))
+    assert all(rows[d]["canonical_id"] == 40 and rows[d]["cluster_size"] == 2
+               for d in (40, 50))
+    drop = sorted(d for d, r in rows.items() if d != r["canonical_id"])
+    assert drop == [20, 30, 50]
+
+
+def test_near_dup_clusters_end_to_end_jaccard(spark):
+    """Composition with the exact Jaccard pair generator on the planted
+    corpus: docs 1,2,3 form one near-dup cluster (1~2 exact, 2~3 near)."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), shingle_n=3, threshold=0.5)
+    rows = {r["doc_id"]: r for r in dedup.near_dup_clusters(pairs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(r["canonical_id"] == 1 and r["cluster_size"] == 3 for r in rows.values())
