@@ -854,10 +854,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run_pipeline(spark, transcripts, max_block_size=50, salt=4)["components"]
 
     def q_scan_records(spark, sf):
-        # S4: record scan with tag/name predicates pushed to the source
+        # S4: record scan with tag/name predicates pushed to the source.
+        # (testdata sources are src0..src19; the old 'web' literal matched
+        # nothing, making the oracle row trivially green on 0 rows)
         return (
             _t(spark, sf, "documents")
-            .filter((F.col("source") == "web") & (F.col("n_chars") >= 200))
+            .filter(F.col("source").isin("src1", "src2") & (F.col("n_chars") >= 200))
             .select("doc_id", "lang", "n_chars")
         )
 
@@ -1894,7 +1896,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_scan_records": """
             SELECT doc_id, lang, n_chars FROM documents
-            WHERE source = 'web' AND n_chars >= 200
+            WHERE source IN ('src1', 'src2') AND n_chars >= 200
         """,
         "q_addr_node": """
             SELECT event_id FROM events
