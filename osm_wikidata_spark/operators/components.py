@@ -112,3 +112,67 @@ def connected_components(
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )
+
+
+def incremental_components(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    src: str = "left_id",
+    dst: str = "right_id",
+    max_iterations: int = 30,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fold a batch of new match edges into an existing ``(node,
+    component)`` assignment WITHOUT re-clustering the full graph.
+
+    The streaming counterpart of :func:`connected_components` (pairs with
+    ``streaming/incremental.py``'s per-batch edge scoring): contract every
+    new edge to the current component labels of its endpoints, run CC on
+    the contracted graph — whose size is O(batch), independent of the
+    accumulated graph — then recompose:
+
+    * existing components whose label got merged are re-labelled by one
+      join on the component key (the only full-table touch, and the meta
+      mapping is batch-sized, so AQE broadcasts it);
+    * brand-new nodes take their contracted label directly.
+
+    Labels stay the component-minimum node id: an old label is already the
+    min of its members, so the contracted min over {old labels, new nodes}
+    is the min over the merged membership — identical to what a full
+    recompute would produce.  That makes incremental-vs-batch equality
+    testable exactly (tests/test_components.py) and the state resumable
+    from any committed assignment generation.
+    """
+    a = assignments.select("node", "component")
+    e = (
+        new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    )
+    # endpoints -> current labels (nodes unseen so far label themselves)
+    cu = a.select(F.col("node").alias("u"), F.col("component").alias("cu"))
+    cv = a.select(F.col("node").alias("v"), F.col("component").alias("cv"))
+    contracted = (
+        e.join(cu, "u", "left")
+        .join(cv, "v", "left")
+        .select(
+            F.coalesce("cu", "u").alias("left_id"),
+            F.coalesce("cv", "v").alias("right_id"),
+        )
+    )
+    meta = connected_components(
+        contracted, max_iterations=max_iterations, checkpoint=checkpoint
+    )
+
+    # re-label merged components: one join keyed on the (batch-sized) meta
+    relabel = meta.select(
+        F.col("node").alias("component"), F.col("component").alias("merged")
+    )
+    updated = a.join(relabel, "component", "left").select(
+        "node", F.coalesce("merged", "component").alias("component")
+    )
+    # nodes first seen in this batch: in meta (as themselves) but not in a
+    fresh = (
+        meta.join(a.select(F.col("node")), "node", "left_anti")
+        .select("node", "component")
+    )
+    return updated.unionByName(fresh)

@@ -18,9 +18,12 @@ Each micro-batch:
 
 State layout (object-store-safe — no directory renames)::
 
-    <state_dir>/MANIFEST            tiny pointer file naming the live gen
-    <state_dir>/gen-000001/blocks   immutable generation directories
+    <state_dir>/MANIFEST                tiny pointer file naming the live gen
+    <state_dir>/gen-000001/blocks       immutable generation directories
     <state_dir>/gen-000001/entities
+    <state_dir>/gen-000001/assignments  (node, component) transitive clusters,
+                                        maintained by contracted-graph
+                                        incremental CC — O(batch) per commit
 
 A generation directory is written in full, then the manifest is atomically
 replaced to point at it.  On a POSIX filesystem the replace is
@@ -43,6 +46,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.blocking import build_blocks, salted_pair_join
+from ..operators.components import incremental_components
 from ..plans.pipeline import extract_entities, score_pairs
 
 TRANSCRIPT_SCHEMA = (
@@ -81,6 +85,19 @@ def state_paths(state_dir: str) -> tuple[str, str] | None:
         return None
     gen_dir = os.path.join(state_dir, gen)
     return os.path.join(gen_dir, "blocks"), os.path.join(gen_dir, "entities")
+
+
+def assignments_path(state_dir: str) -> str | None:
+    """Path of the live generation's ``(node, component)`` assignment
+    table, or None if the live generation predates component maintenance
+    (upgrade note: backfill once with ``connected_components`` over the
+    accumulated edges_dir, or accept that clusters restart from the next
+    batch)."""
+    gen = current_generation(state_dir)
+    if gen is None:
+        return None
+    path = os.path.join(state_dir, gen, "assignments")
+    return path if os.path.exists(os.path.join(path, "_SUCCESS")) else None
 
 
 def _next_generation(state_dir: str) -> str:
@@ -185,6 +202,18 @@ def incremental_edges_batch(
     gen_dir = os.path.join(state_dir, gen)
     all_blocks.write.mode("overwrite").parquet(os.path.join(gen_dir, "blocks"))
     all_entities.write.mode("overwrite").parquet(os.path.join(gen_dir, "entities"))
+    # transitive clusters ride the same generation: contracted-graph
+    # incremental CC over this batch's accepted edges — O(batch) work, no
+    # full-graph recompute (operators/components.py incremental_components)
+    prev_path = assignments_path(state_dir)
+    prev = (
+        spark.read.parquet(prev_path)
+        if prev_path is not None
+        else spark.createDataFrame([], "node string, component string")
+    )
+    incremental_components(prev, edges.filter(F.col("matched"))).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(gen_dir, "assignments"))
     _commit_generation(state_dir, gen)
     return edges
 

@@ -65,3 +65,50 @@ def test_self_loops_and_duplicates(spark):
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     # pure self-loop nodes vanish (singletons are the pipeline's concern)
     assert got == {"a": "a", "b": "a"}
+
+
+def test_incremental_equals_batch(spark):
+    """Folding edge batches through incremental_components reproduces the
+    full-recompute labels exactly at every step."""
+    from osm_wikidata_spark.operators.components import incremental_components
+
+    rng = random.Random(7)
+    nodes = [f"v{i:03d}" for i in range(50)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    batches = [edges[0:20], edges[20:21], edges[21:45], edges[45:]]
+
+    assignments = spark.createDataFrame([], "node string, component string")
+    seen: list[tuple[str, str]] = []
+    for batch in batches:
+        if not batch:
+            continue
+        seen += batch
+        bdf = spark.createDataFrame(batch, "left_id string, right_id string")
+        assignments = incremental_components(assignments, bdf).localCheckpoint()
+        got = {r["node"]: r["component"] for r in assignments.collect()}
+        full = spark.createDataFrame(seen, "left_id string, right_id string")
+        want = {
+            r["node"]: r["component"] for r in connected_components(full).collect()
+        }
+        assert got == want
+
+
+def test_incremental_merges_two_old_components(spark):
+    """A single new edge joining two established components relabels every
+    member of the losing component — and nothing else."""
+    from osm_wikidata_spark.operators.components import incremental_components
+
+    first = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q")],
+        "left_id string, right_id string",
+    )
+    assignments = connected_components(first)
+    bridge = spark.createDataFrame([("c", "x")], "left_id string, right_id string")
+    got = {
+        r["node"]: r["component"]
+        for r in incremental_components(assignments, bridge).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "x": "a", "y": "a", "p": "p", "q": "p"
+    }

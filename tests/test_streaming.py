@@ -326,3 +326,35 @@ def test_exact_dedup_stream_bounded_state(spark, tmp_path):
     streamed = spark.read.parquet(out_dir).collect()
     fps = [r["fingerprint"] for r in streamed]
     assert len(fps) == len(set(fps)) == 20  # one per distinct text, no dupes
+
+
+def test_incremental_assignments_equal_batch_cc(spark, tmp_path):
+    """Each committed generation's assignment table equals a full
+    connected-components recompute over every matched edge seen so far."""
+    from osm_wikidata_spark.operators.components import connected_components
+    from osm_wikidata_spark.streaming.incremental import assignments_path
+
+    transcripts, _ = synth_transcripts(spark, n_conversations=60, turns_per_conv=3)
+    state = os.path.join(str(tmp_path), "state")
+    os.makedirs(state, exist_ok=True)
+
+    batch1 = transcripts.filter(F.col("conv_id") < "conv-000030")
+    batch2 = transcripts.filter(F.col("conv_id") >= "conv-000030")
+
+    all_edges = []
+    for batch in (batch1, batch2):
+        edges = incremental_edges_batch(spark, batch, state)
+        all_edges += edges.filter("matched").select("left_id", "right_id").collect()
+        got = {
+            r["node"]: r["component"]
+            for r in spark.read.parquet(assignments_path(state)).collect()
+        }
+        full = spark.createDataFrame(
+            [(r["left_id"], r["right_id"]) for r in all_edges],
+            "left_id string, right_id string",
+        )
+        want = {
+            r["node"]: r["component"]
+            for r in connected_components(full).collect()
+        }
+        assert got == want
