@@ -46,6 +46,7 @@ HEADLINE = [
     "q_connected_components",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
+    "q_dedup_fuzzy_clusters",
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_embed_topk",
