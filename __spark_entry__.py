@@ -774,6 +774,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", textstats.token_count().alias("n_tokens")
         )
 
+    def q_bpe_token_count(spark, sf):
+        # GPT-2 pre-tokenizer unit count; the oracle runs the IDENTICAL
+        # lookahead-free pattern through DuckDB's RE2
+        return _t(spark, sf, "documents").select(
+            "doc_id", textstats.word_token_count().alias("n_bpe_tokens")
+        )
+
     def q_lang_id(spark, sf):
         return _t(spark, sf, "documents").select(
             "doc_id", textstats.lang_id().alias("lang_pred")
@@ -1451,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above must keep its ordering) ---
         "q_dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
         "q_dedup_embed_clusters": q_dedup_embed_clusters,
+        "q_bpe_token_count": q_bpe_token_count,
     }
 
 
@@ -1460,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
     import json
 
+    from osm_wikidata_spark.operators.textstats import BPE_PRETOKEN_PATTERN
     from tests import _scale_oracle_fixtures as _sofix
     from tests.fixtures import ADDRESS_CASES, CHECK_CASES, EXTRACT_CASES, PAIR_CASES
 
@@ -1734,6 +1743,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+            FROM documents
+        """,
+        # the same lookahead-free GPT-2 pre-tokenizer pattern, verbatim,
+        # through DuckDB's RE2 (shared constant — cannot drift)
+        "q_bpe_token_count": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '{BPE_PRETOKEN_PATTERN.replace("'", "''")}')) AS INTEGER)
+                     AS n_bpe_tokens
             FROM documents
         """,
         "q_lang_id": f"""

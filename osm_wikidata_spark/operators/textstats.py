@@ -26,11 +26,23 @@ def token_count(text_col: str = "text") -> F.Column:
     )
 
 
+# GPT-2-style pre-tokenizer (Radford et al. 2019, public pattern), made
+# lookahead-free so the SAME string runs on Java regex (Spark) and RE2
+# (DuckDB oracle): contractions, space-prefixed letter/digit/punctuation
+# runs, residual whitespace runs.  Dropping the original's `\s+(?!\S)`
+# merges a multi-space run into one token instead of splitting off the
+# last space — the unit COUNT is unchanged, only the split points differ.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
 def word_token_count(text_col: str = "text") -> F.Column:
-    """BPE-ish token proxy: count of word/number/punctuation units."""
+    """BPE-ish token proxy: GPT-2 pre-tokenizer unit count (JVM-side
+    regexp_extract_all; no UDF)."""
     return F.size(
         F.regexp_extract_all(
-            F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0)
+            F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)
         )
     )
 

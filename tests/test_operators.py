@@ -586,3 +586,40 @@ def test_near_dup_clusters_end_to_end_jaccard(spark):
     rows = {r["doc_id"]: r for r in dedup.near_dup_clusters(pairs).collect()}
     assert set(rows) == {1, 2, 3}
     assert all(r["canonical_id"] == 1 and r["cluster_size"] == 3 for r in rows.values())
+
+
+def test_bpe_pretoken_count_duckdb_parity(spark):
+    """The lookahead-free GPT-2 pre-tokenizer pattern counts identically
+    through Java regex (Spark) and RE2 (DuckDB) on adversarial strings —
+    contractions, multi-space runs, unicode letters/digits, punct runs."""
+    import duckdb
+
+    from osm_wikidata_spark.operators.textstats import BPE_PRETOKEN_PATTERN
+
+    texts = [
+        "I don't think it's Bob's — he'll've left (won't he?)",
+        "a  b   c\t\td\n\ne",
+        "Hôpital №5, Кастелець 42nd!!! ...",
+        "12345 67,890 3.14159",
+        "", "   ", "word",
+        "mixed𝟙unicode𝟚digits and ちゃんと日本語",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", textstats.word_token_count().alias("n")
+        ).collect()
+    }
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    con = duckdb.connect()
+    want = {
+        i: con.execute(
+            "SELECT CAST(len(regexp_extract_all(?, '" + pat + "')) AS INTEGER)",
+            [t],
+        ).fetchone()[0]
+        for i, t in enumerate(texts)
+    }
+    assert got == want
