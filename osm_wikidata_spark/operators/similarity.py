@@ -381,3 +381,98 @@ def ivf_top_k(
     return top_k_per_group(
         scored, "query_id", "cos", k, ascending=False, tiebreak=["vec_id"]
     ).select("query_id", "vec_id", "cos")
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    n_iter: int = 10,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train an IVF codebook: distributed Lloyd's k-means over the
+    embedding column (the offline step :func:`ivf_assign`'s docstring
+    defers to the caller for).
+
+    Spark shapes, per iteration:
+
+    * **assign** — :func:`ivf_assign`'s worker-side-codebook pandas UDF
+      (one ``(batch, dim) @ (dim, k)`` matmul per Arrow batch);
+    * **update** — per-cell PARTIAL sums via ``mapInPandas`` (one
+      ``(cell, count, sum-vector)`` row per cell per batch — the map-side
+      combine), finished on the driver.  The driver step touches only
+      O(batches · k) tiny rows; a codebook is driver-sized by the IVF
+      contract, so this is the natural home (same judgement as the
+      hot-list collect in blocking.py).
+
+    Init is a seeded hash-sample — the k distinct valid vectors with the
+    smallest ``xxhash64(id, seed)`` — so the starting codebook is
+    reproducible on any cluster size or partitioning.  Iterations use
+    floating-point partial sums whose combine order follows partition
+    order, so centroids are deterministic for a fixed partitioning but
+    may differ in the last ulps across parallelism levels — hence this is
+    pinned by pytest (planted clusters, empty-cell survival), not by a
+    value-hash oracle.  Empty cells keep their previous centroid.
+    """
+    import numpy as np
+
+    valid = vectors.filter(F.col(vec_col).isNotNull())
+    dim_row = valid.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("kmeans_fit: no non-null vectors")
+    dim = dim_row["d"]
+    valid = valid.filter(F.size(vec_col) == dim)
+
+    # seeded hash-sample init: oversample, dedupe driver-side, take k
+    cand = (
+        valid.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(max(4 * k, k + 8))
+        .collect()
+    )
+    init: list[tuple[float, ...]] = []
+    seen: set[tuple[float, ...]] = set()
+    for row in cand:
+        key = tuple(row[vec_col])
+        if key not in seen:
+            seen.add(key)
+            init.append(key)
+        if len(init) == k:
+            break
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans_fit: only {len(init)} distinct vectors for k={k}"
+        )
+    cb = np.asarray(init, dtype=np.float64)
+
+    partial_schema = "cell long, n long, s array<double>"
+
+    for _ in range(n_iter):
+        assigned = ivf_assign(valid, cb.tolist(), id_col, vec_col).select(
+            vec_col, "cell"
+        )
+
+        def _partials(batches):
+            for pdf in batches:
+                sub = pdf[pdf["cell"].notna()]
+                if len(sub) == 0:
+                    continue
+                cells, ns, sums = [], [], []
+                for c, g in sub.groupby("cell"):
+                    mat = np.stack(g[vec_col].to_numpy())
+                    cells.append(int(c))
+                    ns.append(len(g))
+                    sums.append(mat.sum(axis=0).tolist())
+                yield pd.DataFrame({"cell": cells, "n": ns, "s": sums})
+
+        rows = assigned.mapInPandas(_partials, partial_schema).collect()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(cb)
+        for r in rows:
+            counts[r["cell"]] += r["n"]
+            sums[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+        occupied = counts > 0
+        cb[occupied] = sums[occupied] / counts[occupied, None]
+
+    return cb.tolist()

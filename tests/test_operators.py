@@ -623,3 +623,49 @@ def test_bpe_pretoken_count_duckdb_parity(spark):
         for i, t in enumerate(texts)
     }
     assert got == want
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    """Lloyd's k-means recovers three well-separated planted clusters and
+    the fitted codebook drives ivf_assign to the planted partition."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    rows = []
+    truth = {}
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.1, 4)
+        rows.append((i, [float(x) for x in v]))
+        truth[i] = c
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    cb = similarity.kmeans_fit(vecs, k=3, n_iter=8, seed=1)
+    assert len(cb) == 3 and len(cb[0]) == 4
+    # each fitted centroid sits on exactly one planted center
+    fitted_to_planted = [int(np.argmax([np.dot(c, p) for p in centers])) for c in cb]
+    assert sorted(fitted_to_planted) == [0, 1, 2]
+
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(vecs, cb).collect()
+    }
+    # assignment must reproduce the planted partition (modulo label names)
+    relabel = {}
+    for vid, cell in got.items():
+        relabel.setdefault(cell, truth[vid])
+        assert relabel[cell] == truth[vid]
+    assert len(relabel) == 3
+
+
+def test_kmeans_fit_null_ragged_and_empty_cells(spark):
+    """Null / dimension-mismatched vectors are ignored; a k larger than
+    the separable structure leaves empty cells that keep their previous
+    centroid instead of producing NaNs."""
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.99, 0.0]),
+            (4, None), (5, [1.0, 0.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = similarity.kmeans_fit(vecs, k=3, n_iter=4, seed=0)
+    assert len(cb) == 3
+    assert all(all(x == x for x in c) for c in cb)  # no NaN anywhere
