@@ -309,3 +309,23 @@ def test_reduce_candidates_composition(spark):
     )
     out = red.reduce_candidates(cands)
     assert _kept(out) == [1, 3, 5]
+
+
+def test_reduce_candidates_single_shuffle_plan(spark):
+    """The full G10 chain (incl. the gated building/reservoir rules) must
+    stay one linear pipeline over a single item_id hash partitioning —
+    the filter/union branching it replaced cost 4 Exchanges."""
+    import re
+
+    rows = [
+        ("Q1", "node", 1, "S", 10.0, {}, ["amenity=school"], True),
+        ("Q1", "way", 2, "S", 10.0, {}, ["building=school"], True),
+    ]
+    cands = (
+        _cands(spark, rows)
+        .withColumn("is_primarily_building", F.lit(False))
+        .withColumn("is_reservoir", F.lit(False))
+    )
+    plan = red.reduce_candidates(cands)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, plan
