@@ -774,6 +774,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", textstats.token_count().alias("n_tokens")
         )
 
+    def q_sample_documents(spark, sf):
+        # deterministic content-hash 10% sample: identical rows on any
+        # partitioning/cluster size/engine (operators/sampling.py)
+        from osm_wikidata_spark.operators import sampling
+
+        return sampling.sample_rows(
+            _t(spark, sf, "documents"), ["doc_id"], 0.1
+        ).select("doc_id", "lang", "source")
+
+    def q_sample_pairs_stratified(spark, sf):
+        # stratified labeling sample over a derived pair table: oversample
+        # the rare stratum (R), trickle the bulk (N), default for the rest
+        from osm_wikidata_spark.operators import sampling
+
+        edges = _t(spark, sf, "lineitem").select(
+            F.col("l_orderkey").alias("left_id"),
+            F.col("l_partkey").alias("right_id"),
+            F.col("l_returnflag").alias("kind"),
+        )
+        return sampling.sample_pairs_stratified(
+            edges, {"R": 0.5, "N": 0.02}, default_rate=0.1
+        )
+
     def q_bpe_token_count(spark, sf):
         # GPT-2 pre-tokenizer unit count; the oracle runs the IDENTICAL
         # lookahead-free pattern through DuckDB's RE2
@@ -1459,6 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
         "q_dedup_embed_clusters": q_dedup_embed_clusters,
         "q_bpe_token_count": q_bpe_token_count,
+        "q_sample_documents": q_sample_documents,
+        "q_sample_pairs_stratified": q_sample_pairs_stratified,
     }
 
 
@@ -1468,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
     import json
 
+    from osm_wikidata_spark.operators.sampling import _hex_threshold
     from osm_wikidata_spark.operators.textstats import BPE_PRETOKEN_PATTERN
     from tests import _scale_oracle_fixtures as _sofix
     from tests.fixtures import ADDRESS_CASES, CHECK_CASES, EXTRACT_CASES, PAIR_CASES
@@ -1744,6 +1770,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
             FROM documents
+        """,
+        # thresholds come from the SAME helper the Spark operator uses
+        # (sampling._hex_threshold) — hex-prefix comparison is portable
+        "q_sample_documents": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_hex_threshold(0.1)}'
+        """,
+        "q_sample_pairs_stratified": f"""
+            WITH edges AS (
+              SELECT l_orderkey AS left_id, l_partkey AS right_id,
+                     l_returnflag AS kind
+              FROM lineitem
+            )
+            SELECT left_id, right_id, kind FROM edges
+            WHERE substr(md5(CAST(left_id AS VARCHAR) || chr(31)
+                              || CAST(right_id AS VARCHAR)), 1, 8)
+                  < CASE coalesce(kind, 'no_match')
+                      WHEN 'R' THEN '{_hex_threshold(0.5)}'
+                      WHEN 'N' THEN '{_hex_threshold(0.02)}'
+                      ELSE '{_hex_threshold(0.1)}' END
         """,
         # the same lookahead-free GPT-2 pre-tokenizer pattern, verbatim,
         # through DuckDB's RE2 (shared constant — cannot drift)

@@ -669,3 +669,46 @@ def test_kmeans_fit_null_ragged_and_empty_cells(spark):
     cb = similarity.kmeans_fit(vecs, k=3, n_iter=4, seed=0)
     assert len(cb) == 3
     assert all(all(x == x for x in c) for c in cb)  # no NaN anywhere
+
+
+def test_hash_sampling_partitioning_invariant(spark):
+    """The content-hash sample is a pure function of the data: identical
+    row sets at different partitionings (df.sample is not), and the rate
+    lands near the target."""
+    from osm_wikidata_spark.operators import sampling
+
+    docs = spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in sampling.sample_rows(docs, ["doc_id"], 0.1).collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.sample_rows(docs.repartition(17), ["doc_id"], 0.1).collect()
+    }
+    assert a == b
+    assert 0.08 * 20000 < len(a) < 0.12 * 20000
+
+
+def test_hash_sampling_consistent_across_tables(spark):
+    """Sampling two tables by the same key keeps their join consistent:
+    every key sampled at the lower rate is in the higher-rate sample."""
+    from osm_wikidata_spark.operators import sampling
+
+    docs = spark.range(0, 5000).select(F.col("id").alias("k"))
+    at_05 = {r["k"] for r in sampling.sample_rows(docs, ["k"], 0.05).collect()}
+    at_20 = {r["k"] for r in sampling.sample_rows(docs, ["k"], 0.20).collect()}
+    assert at_05 <= at_20
+
+
+def test_stratified_pair_sampling_rates(spark):
+    """Per-stratum rates are respected; unknown strata fall to the default
+    and a 0.0 default drops them entirely."""
+    from osm_wikidata_spark.operators import sampling
+
+    rows = [(i, i + 1, ["rare", "bulk", "other"][i % 3]) for i in range(30000)]
+    edges = spark.createDataFrame(rows, "left_id bigint, right_id bigint, kind string")
+    got = sampling.sample_pairs_stratified(
+        edges, {"rare": 0.5, "bulk": 0.01}, default_rate=0.0
+    ).groupBy("kind").count().collect()
+    by_kind = {r["kind"]: r["count"] for r in got}
+    assert "other" not in by_kind            # default 0.0 drops the stratum
+    assert 0.45 * 10000 < by_kind["rare"] < 0.55 * 10000
+    assert 0.005 * 10000 < by_kind["bulk"] < 0.02 * 10000
