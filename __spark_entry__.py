@@ -774,6 +774,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", textstats.token_count().alias("n_tokens")
         )
 
+    def q_decontaminate(spark, sf):
+        # GPT-3-style benchmark decontamination over a derived split:
+        # every 50th doc is the "eval set"; flag training docs sharing an
+        # exact word shingle.  shingle_n=3 here because the synthetic
+        # corpus has no 8-gram overlaps (production default is 8).
+        from osm_wikidata_spark.operators import contamination
+
+        docs = _t(spark, sf, "documents")
+        return contamination.contaminated_docs(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            shingle_n=3,
+        )
+
     def q_sample_documents(spark, sf):
         # deterministic content-hash 10% sample: identical rows on any
         # partitioning/cluster size/engine (operators/sampling.py)
@@ -1484,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_token_count": q_bpe_token_count,
         "q_sample_documents": q_sample_documents,
         "q_sample_pairs_stratified": q_sample_pairs_stratified,
+        "q_decontaminate": q_decontaminate,
     }
 
 
@@ -1770,6 +1785,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
             FROM documents
+        """,
+        "q_decontaminate": """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                                    FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS s
+              FROM d
+            ),
+            tr AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 50 <> 0),
+            ev AS (SELECT doc_id AS eval_id, unnest(s) AS shingle FROM sh WHERE doc_id % 50 = 0)
+            SELECT tr.doc_id,
+                   count(DISTINCT tr.shingle) AS n_hits,
+                   count(DISTINCT ev.eval_id) AS n_eval_docs
+            FROM tr JOIN ev USING (shingle)
+            GROUP BY tr.doc_id
         """,
         # thresholds come from the SAME helper the Spark operator uses
         # (sampling._hex_threshold) — hex-prefix comparison is portable

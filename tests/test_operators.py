@@ -712,3 +712,44 @@ def test_stratified_pair_sampling_rates(spark):
     assert "other" not in by_kind            # default 0.0 drops the stratum
     assert 0.45 * 10000 < by_kind["rare"] < 0.55 * 10000
     assert 0.005 * 10000 < by_kind["bulk"] < 0.02 * 10000
+
+
+def test_contamination_flags_exact_ngram_overlap(spark):
+    """A training doc sharing an exact 3-gram with an eval doc is flagged
+    with the right hit counts; non-overlapping docs are absent."""
+    from osm_wikidata_spark.operators import contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training text here"),
+            (3, "quick brown fox appears once more in this doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox story"), (101, "the lazy dog sleeps")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_eval_docs"])
+        for r in contamination.contaminated_docs(train, ev, shingle_n=3).collect()
+    }
+    # doc 1 shares "quick brown fox" (eval 100) and "the lazy dog" (eval 101)
+    assert got[1] == (2, 2)
+    # doc 3 shares only "quick brown fox"
+    assert got[3] == (1, 1)
+    assert 2 not in got
+
+
+def test_contamination_short_doc_exact_only(spark):
+    """Docs shorter than the shingle emit one sub-length shingle and can
+    only collide with an identical short eval doc."""
+    from osm_wikidata_spark.operators import contamination
+
+    train = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "other tiny")], "doc_id bigint, text string"
+    )
+    ev = spark.createDataFrame([(9, "tiny doc")], "doc_id bigint, text string")
+    got = contamination.contaminated_docs(train, ev, shingle_n=8).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in got] == [(1, 1)]
