@@ -1436,7 +1436,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_turn_rate": q_turn_rate,
         "q_media_resize": q_media_resize,
         "q_frame_sample": q_frame_sample,
-        "q_geonames_filter": q_geonames_filter,
+        # --- never driver-recorded (round-4 additions) ---
+        "q_dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
+        "q_dedup_embed_clusters": q_dedup_embed_clusters,
+        "q_bpe_token_count": q_bpe_token_count,
+        "q_sample_documents": q_sample_documents,
+        "q_sample_pairs_stratified": q_sample_pairs_stratified,
+        "q_decontaminate": q_decontaminate,
         # --- marquee operators / bench headliners ---
         "q_er_pipeline": q_er_pipeline,
         "q_name_match": q_name_match,
@@ -1453,12 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audit_metrics": q_audit_metrics,
         "q_transcripts_invariant": q_transcripts_invariant,
         "q_names_from_entity": q_names_from_entity,
-        "q_calculate_tags": q_calculate_tags,
-        "q_cats_to_tags": q_cats_to_tags,
         "q_scan_entities": q_scan_entities,
-        "q_etl_classify": q_etl_classify,
-        "q_existing_links": q_existing_links,
-        "q_result_assembly": q_result_assembly,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_canonical": q_dedup_canonical,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1474,6 +1475,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_multimodal_features": q_multimodal_features,
         # --- derivative shapes, driver-green in r01-r03 archives ---
+        "q_geonames_filter": q_geonames_filter,
+        "q_calculate_tags": q_calculate_tags,
+        "q_cats_to_tags": q_cats_to_tags,
+        "q_etl_classify": q_etl_classify,
+        "q_existing_links": q_existing_links,
+        "q_result_assembly": q_result_assembly,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_parse_group": q_parse_group,
@@ -1491,14 +1498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_window": q_topk_window,
         "q_scan_records": q_scan_records,
         "q_addr_node": q_addr_node,
-        # --- round-4 late additions (appended: the first-50 driver window
-        # above must keep its ordering) ---
-        "q_dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
-        "q_dedup_embed_clusters": q_dedup_embed_clusters,
-        "q_bpe_token_count": q_bpe_token_count,
-        "q_sample_documents": q_sample_documents,
-        "q_sample_pairs_stratified": q_sample_pairs_stratified,
-        "q_decontaminate": q_decontaminate,
     }
 
 
