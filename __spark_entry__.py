@@ -818,6 +818,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", textstats.word_token_count().alias("n_bpe_tokens")
         )
 
+    def _reshaped_docs(spark, sf):
+        # the synthetic corpus is single-line; derive a deterministic
+        # multi-line view (8-word lines) so line-level repetition stats
+        # have structure to measure — mirrored verbatim in the oracle
+        docs = _t(spark, sf, "documents")
+        w = F.split(dedup.normalize_text("text"), " ")
+        lines = F.transform(
+            F.sequence(
+                F.lit(0), F.floor((F.size(w) - 1) / 8).cast("int")
+            ),
+            lambda j: F.array_join(F.slice(w, j * 8 + 1, 8), " "),
+        )
+        return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+    def q_repetition_stats(spark, sf):
+        # Gopher-family repetition quality signals (Rae et al. 2021):
+        # dup-line fractions over the derived 8-word lines, top-2/3/4-gram
+        # and dup-5/10-gram character fractions over the normalised text
+        from osm_wikidata_spark.operators import quality
+
+        return quality.repetition_stats(
+            _reshaped_docs(spark, sf), top_ngram_ns=(2, 3, 4), dup_ngram_ns=(5, 10)
+        )
+
+    def _pii_injected_docs(spark, sf):
+        # the corpus carries no PII; append deterministic synthetic spans
+        # (email / IPv4 / phones / URL-with-embedded-email) keyed on
+        # doc_id — the oracle builds the identical view
+        d = F.col("doc_id")
+        tail = (
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")
+                ),
+            )
+            .when(
+                d % 5 == 1,
+                F.concat(
+                    F.lit(" server 10.0."), (d % 256).cast("string"), F.lit(".17 up")
+                ),
+            )
+            .when(
+                d % 5 == 2,
+                F.concat(
+                    F.lit(" call +1415555"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                    F.lit(" or 415-555-0199"),
+                ),
+            )
+            .when(
+                d % 5 == 3,
+                F.concat(
+                    F.lit(" see https://ex.org/d/"), d.cast("string"), F.lit("?u=a@b.co x")
+                ),
+            )
+            .otherwise(F.lit(""))
+        )
+        return _t(spark, sf, "documents").select(
+            "doc_id", F.concat("text", tail).alias("text")
+        )
+
+    def q_pii_stats(spark, sf):
+        # per-class PII/link match counts (operators/pii.py); patterns are
+        # the Java-regex/RE2 intersection so the oracle runs them verbatim
+        from osm_wikidata_spark.operators import pii
+
+        return pii.pii_counts(_pii_injected_docs(spark, sf))
+
+    def q_pii_redact(spark, sf):
+        # typed-placeholder redaction, URL pass first so an email embedded
+        # in a URL is swallowed by <URL> instead of half-redacted
+        from osm_wikidata_spark.operators import pii
+
+        return pii.redact_pii(_pii_injected_docs(spark, sf))
+
+    def q_sample_weighted(spark, sf):
+        # quality-weighted selection: each doc survives with probability
+        # quality^2 (its own per-row rate) — deterministic content-hash
+        # thresholding, partitioning/cluster-size/engine invariant
+        from osm_wikidata_spark.operators import sampling
+
+        rated = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.round(
+                textstats.quality_score() * textstats.quality_score(), 6
+            ).alias("rate"),
+        )
+        return sampling.sample_rows_by_rate(rated, ["doc_id"], "rate")
+
     def q_lang_id(spark, sf):
         return _t(spark, sf, "documents").select(
             "doc_id", textstats.lang_id().alias("lang_pred")
@@ -1443,6 +1533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_documents": q_sample_documents,
         "q_sample_pairs_stratified": q_sample_pairs_stratified,
         "q_decontaminate": q_decontaminate,
+        "q_repetition_stats": q_repetition_stats,
+        "q_pii_stats": q_pii_stats,
+        "q_pii_redact": q_pii_redact,
+        "q_sample_weighted": q_sample_weighted,
         # --- marquee operators / bench headliners ---
         "q_er_pipeline": q_er_pipeline,
         "q_name_match": q_name_match,
@@ -1458,8 +1552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_connected_components": q_connected_components,
         "q_audit_metrics": q_audit_metrics,
         "q_transcripts_invariant": q_transcripts_invariant,
-        "q_names_from_entity": q_names_from_entity,
-        "q_scan_entities": q_scan_entities,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_canonical": q_dedup_canonical,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1471,10 +1563,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embed_lsh": q_dedup_embed_lsh,
         "q_ivf_assign": q_ivf_assign,
         "q_ivf_topk": q_ivf_topk,
-        "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
+        # --- derivative shapes, driver-green in r01-r03 archives,
+        #     or rows-only (q_multimodal_features) ---
+        "q_token_count": q_token_count,
         "q_multimodal_features": q_multimodal_features,
-        # --- derivative shapes, driver-green in r01-r03 archives ---
+        "q_names_from_entity": q_names_from_entity,
+        "q_scan_entities": q_scan_entities,
         "q_geonames_filter": q_geonames_filter,
         "q_calculate_tags": q_calculate_tags,
         "q_cats_to_tags": q_cats_to_tags,
@@ -1507,10 +1602,31 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
     import json
 
+    from osm_wikidata_spark.operators.pii import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+        URL_PATTERN,
+    )
     from osm_wikidata_spark.operators.sampling import _hex_threshold
     from osm_wikidata_spark.operators.textstats import BPE_PRETOKEN_PATTERN
     from tests import _scale_oracle_fixtures as _sofix
     from tests.fixtures import ADDRESS_CASES, CHECK_CASES, EXTRACT_CASES, PAIR_CASES
+
+    def _sq(pattern: str) -> str:
+        """Escape a regex for embedding in a single-quoted SQL literal."""
+        return pattern.replace("'", "''")
+
+    # the q_pii_* injected view — must mirror _pii_injected_docs verbatim
+    _PII_VIEW_SQL = """
+        SELECT doc_id, concat(text, CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          WHEN 1 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17 up'
+          WHEN 2 THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or 415-555-0199'
+          WHEN 3 THEN ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR) || '?u=a@b.co x'
+          ELSE '' END) AS text
+        FROM documents
+    """
 
     name_match_expected = [
         (i, e is not None) for i, (_o, _w, _en, _p, e) in enumerate(PAIR_CASES)
@@ -1804,6 +1920,119 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT ev.eval_id) AS n_eval_docs
             FROM tr JOIN ev USING (shingle)
             GROUP BY tr.doc_id
+        """,
+        # Gopher repetition signals over the derived 8-word-line view;
+        # struct max = the same (count, chars) lexicographic tie-break the
+        # Spark operator uses
+        "q_repetition_stats": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     array_to_string([array_to_string(w[(j*8+1):(j*8+8)], ' ')
+                                      FOR j IN generate_series(0, (len(w)-1)//8)],
+                                     chr(10)) AS txt
+              FROM d
+            ), base AS (
+              SELECT doc_id,
+                     length(regexp_replace(lower(txt), '\s+', ' ', 'g')) AS total_chars,
+                     string_split(regexp_replace(lower(txt), '\s+', ' ', 'g'), ' ') AS w
+              FROM r
+            ), grams AS (
+              SELECT doc_id, ns.n,
+                     unnest([array_to_string(w[i:i+ns.n-1], ' ')
+                             FOR i IN generate_series(1, greatest(len(w)-ns.n+1, 1))]) AS gram
+              FROM base CROSS JOIN (VALUES (2),(3),(4),(5),(10)) ns(n)
+            ), gc AS (
+              SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY doc_id, n, gram
+            ), pn AS (
+              SELECT doc_id, n,
+                     max(struct_pack(c := c, ch := c * length(gram)))['ch'] AS top_chars,
+                     sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_chars
+              FROM gc GROUP BY doc_id, n
+            ), ng AS (
+              SELECT doc_id,
+                     max(CASE WHEN n = 2 THEN top_chars END) AS top2,
+                     max(CASE WHEN n = 3 THEN top_chars END) AS top3,
+                     max(CASE WHEN n = 4 THEN top_chars END) AS top4,
+                     max(CASE WHEN n = 5 THEN dup_chars END) AS dup5,
+                     max(CASE WHEN n = 10 THEN dup_chars END) AS dup10
+              FROM pn GROUP BY doc_id
+            ), ln AS (
+              SELECT doc_id, trim(line) AS line
+              FROM (SELECT doc_id, unnest(string_split(txt, chr(10))) AS line FROM r)
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS c
+              FROM ln WHERE line <> '' GROUP BY doc_id, line
+            ), ls AS (
+              SELECT doc_id, sum(c) AS n_lines, sum(c * length(line)) AS n_line_chars,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+                     sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_line_chars
+              FROM lc GROUP BY doc_id
+            )
+            SELECT base.doc_id,
+                   coalesce(round(CASE WHEN n_lines > 0 THEN dup_lines / n_lines END, 6), 0.0) AS dup_line_frac,
+                   coalesce(round(CASE WHEN n_line_chars > 0 THEN dup_line_chars / n_line_chars END, 6), 0.0) AS dup_line_char_frac,
+                   coalesce(round(CASE WHEN total_chars > 0 THEN top2 / total_chars END, 6), 0.0) AS top_2gram_frac,
+                   coalesce(round(CASE WHEN total_chars > 0 THEN top3 / total_chars END, 6), 0.0) AS top_3gram_frac,
+                   coalesce(round(CASE WHEN total_chars > 0 THEN top4 / total_chars END, 6), 0.0) AS top_4gram_frac,
+                   coalesce(round(CASE WHEN total_chars > 0 THEN dup5 / total_chars END, 6), 0.0) AS dup_5gram_frac,
+                   coalesce(round(CASE WHEN total_chars > 0 THEN dup10 / total_chars END, 6), 0.0) AS dup_10gram_frac
+            FROM base LEFT JOIN ls USING (doc_id) LEFT JOIN ng USING (doc_id)
+        """,
+        # the operators/pii.py patterns verbatim (Java-regex/RE2
+        # intersection) over the identical injected view
+        "q_pii_stats": f"""
+            WITH t AS ({_PII_VIEW_SQL})
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_sq(URL_PATTERN)}')) AS n_urls,
+                   len(regexp_extract_all(text, '{_sq(EMAIL_PATTERN)}')) AS n_emails,
+                   len(regexp_extract_all(text, '{_sq(IPV4_PATTERN)}')) AS n_ipv4,
+                   len(regexp_extract_all(text, '{_sq(PHONE_PATTERN)}')) AS n_phones,
+                   len(regexp_extract_all(text, '{_sq(EMAIL_PATTERN)}'))
+                     + len(regexp_extract_all(text, '{_sq(IPV4_PATTERN)}'))
+                     + len(regexp_extract_all(text, '{_sq(PHONE_PATTERN)}')) AS n_pii
+            FROM t
+        """,
+        "q_pii_redact": f"""
+            WITH t AS ({_PII_VIEW_SQL})
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_sq(URL_PATTERN)}', '<URL>', 'g'),
+                       '{_sq(EMAIL_PATTERN)}', '<EMAIL>', 'g'),
+                       '{_sq(IPV4_PATTERN)}', '<IP>', 'g'),
+                       '{_sq(PHONE_PATTERN)}', '<PHONE>', 'g') AS text
+            FROM t
+        """,
+        # per-row-rate hash sampling: the same floor(rate*16^8) hex
+        # threshold expression the Spark sampler builds
+        "q_sample_weighted": r"""
+            WITH s AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                length(text) AS n_chars,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                len(regexp_extract_all(lower(text),
+                    '\b(the|and|of|to|is|in|that|it|was|for)\b')) AS en_hits
+              FROM documents
+            ), q AS (
+              SELECT doc_id,
+                   round(0.4 * (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                       + 0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+                       + 0.2 * (CASE WHEN n_tokens > 0 THEN least(en_hits / n_tokens * 5, 1.0) ELSE 0.0 END),
+                   6) AS quality
+              FROM s
+            ), rated AS (
+              SELECT doc_id, round(quality * quality, 6) AS rate FROM q
+            )
+            SELECT doc_id, rate FROM rated
+            WHERE rate >= 1.0
+               OR (rate > 0.0
+                   AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < lpad(lower(hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0'))
         """,
         # thresholds come from the SAME helper the Spark operator uses
         # (sampling._hex_threshold) — hex-prefix comparison is portable

@@ -64,6 +64,37 @@ def sample_rows(
     return df.filter(hash_key(key_cols) < _hex_threshold(fraction))
 
 
+def sample_rows_by_rate(
+    df: DataFrame, key_cols: Sequence[str], rate_col: str
+) -> DataFrame:
+    """Deterministic weighted sample: each row survives with ITS OWN
+    probability ``rate_col`` (a [0, 1] double column) — the importance-
+    sampling / quality-weighted-selection shape ("keep high-quality docs
+    at 100%, tail quality at 5%") that a global-fraction sampler cannot
+    express.
+
+    The per-row hex threshold is ``floor(rate * 16^8)`` rendered as 8
+    lowercase hex chars, compared against the content-hash prefix exactly
+    like :func:`sample_rows` — same determinism guarantees (partitioning/
+    cluster-size/engine invariant; consistent across tables sharing the
+    key).  Rows keyed identically but rated differently survive together
+    iff the hash clears the higher rate — i.e. rate-r survivors are a
+    subset of rate-r' survivors for r ≤ r' (monotone, the property that
+    makes staged re-rating reproducible).  null / ≤0 rates drop the row;
+    ≥1 keeps it unconditionally.  Still one narrow filter — no shuffle,
+    no UDF.
+    """
+    rate = F.col(rate_col)
+    thr = F.lower(
+        F.lpad(F.hex(F.floor(rate * F.lit(float(_SPACE))).cast("bigint")), 8, "0")
+    )
+    return df.filter(
+        F.when(rate >= 1.0, F.lit(True))
+        .when(rate.isNull() | (rate <= 0.0), F.lit(False))
+        .otherwise(hash_key(key_cols) < thr)
+    )
+
+
 def sample_pairs_stratified(
     edges: DataFrame,
     rates: dict[str, float],

@@ -753,3 +753,101 @@ def test_contamination_short_doc_exact_only(spark):
     ev = spark.createDataFrame([(9, "tiny doc")], "doc_id bigint, text string")
     got = contamination.contaminated_docs(train, ev, shingle_n=8).collect()
     assert [(r["doc_id"], r["n_hits"]) for r in got] == [(1, 1)]
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Pin every signal on a document small enough to verify by hand."""
+    from osm_wikidata_spark.operators import quality
+
+    # 3 lines, one duplicated; normalised text = "a b a b a b c d"
+    text = "a b\na b\na b c d"
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    row = quality.repetition_stats(
+        docs, top_ngram_ns=(2,), dup_ngram_ns=(3,)
+    ).collect()[0]
+    # lines: "a b" x2 (dup), "a b c d" x1 -> 2/3 lines, 6/13 chars
+    assert row["dup_line_frac"] == round(2 / 3, 6)
+    assert row["dup_line_char_frac"] == round(6 / 13, 6)
+    # 2-grams of [a b a b a b c d]: "a b" x3, "b a" x2, "b c", "c d";
+    # top = "a b" -> 3*3=9 chars of 15 normalised chars
+    assert row["top_2gram_frac"] == round(9 / 15, 6)
+    # 3-grams: "a b a" x2, "b a b" x2, "a b c", "b c d" -> dup chars 4*5=20
+    assert row["dup_3gram_frac"] == round(20 / 15, 6)
+
+
+def test_repetition_stats_no_repetition_and_empty(spark):
+    from osm_wikidata_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality.repetition_stats(
+            docs, top_ngram_ns=(2,), dup_ngram_ns=(5,)
+        ).collect()
+    }
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[1]["dup_5gram_frac"] == 0.0
+    # top 2-gram of unique text still covers chars: "alpha beta" 10/16
+    assert got[1]["top_2gram_frac"] == round(10 / 16, 6)
+    # empty doc: every signal coalesces to 0.0, row is present
+    assert all(v == 0.0 for k, v in got[2].items() if k != "doc_id")
+
+
+def test_pii_counts_and_redaction(spark):
+    from osm_wikidata_spark.operators import pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, ip 10.0.0.1, call 415-555-0199"),
+            (2, "see https://x.org/p?u=a@b.co then +4915112345678"),
+            (3, "clean text"),
+        ],
+        "doc_id bigint, text string",
+    )
+    counts = {r["doc_id"]: r.asDict() for r in pii.pii_counts(docs).collect()}
+    assert counts[1]["n_emails"] == 2
+    assert counts[1]["n_ipv4"] == 1
+    assert counts[1]["n_phones"] == 1
+    assert counts[1]["n_pii"] == 4
+    assert counts[2]["n_urls"] == 1
+    assert counts[3]["n_pii"] == 0 and counts[3]["n_urls"] == 0
+
+    red = {r["doc_id"]: r["text"] for r in pii.redact_pii(docs).collect()}
+    assert red[1] == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>"
+    # URL pass runs first: the embedded email is swallowed by <URL>
+    assert red[2] == "see <URL> then <PHONE>"
+    assert red[3] == "clean text"
+
+
+def test_sample_rows_by_rate_monotone_and_accurate(spark):
+    """Per-row-rate sampling: survivors at a lower rate are a subset of
+    survivors at a higher rate (staged re-rating reproducibility), and
+    realised rates track requested rates."""
+    from osm_wikidata_spark.operators import sampling
+
+    docs = spark.range(0, 20000).select(F.col("id").alias("k"))
+    lo = docs.withColumn("rate", F.lit(0.1))
+    hi = docs.withColumn("rate", F.lit(0.4))
+    kept_lo = {r["k"] for r in sampling.sample_rows_by_rate(lo, ["k"], "rate").collect()}
+    kept_hi = {r["k"] for r in sampling.sample_rows_by_rate(hi, ["k"], "rate").collect()}
+    assert kept_lo <= kept_hi
+    assert 0.08 * 20000 < len(kept_lo) < 0.12 * 20000
+    assert 0.37 * 20000 < len(kept_hi) < 0.43 * 20000
+
+
+def test_sample_rows_by_rate_edge_rates(spark):
+    from osm_wikidata_spark.operators import sampling
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 30, F.lit(1.0))
+        .when(F.col("id") < 60, F.lit(0.0))
+        .when(F.col("id") < 80, F.lit(None).cast("double"))
+        .otherwise(F.lit(2.5))
+        .alias("rate"),
+    )
+    kept = {r["k"] for r in sampling.sample_rows_by_rate(docs, ["k"], "rate").collect()}
+    # rate>=1 keeps all, 0/null drop all
+    assert kept == set(range(30)) | set(range(80, 100))
