@@ -894,6 +894,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pii.redact_pii(_pii_injected_docs(spark, sf))
 
+    def q_pack_sequences(spark, sf):
+        # GPT-style concat-and-chunk packing placement: per-source token
+        # streams (the parallelism knob), budget-512 sequences
+        from osm_wikidata_spark.operators import packing
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", "source", textstats.token_count().alias("n_tokens")
+        )
+        return packing.pack_sequences(docs, 512, group_col="source")
+
     def q_sample_weighted(spark, sf):
         # quality-weighted selection: each doc survives with probability
         # quality^2 (its own per-row rate) — deterministic content-hash
@@ -1537,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_stats": q_pii_stats,
         "q_pii_redact": q_pii_redact,
         "q_sample_weighted": q_sample_weighted,
+        "q_pack_sequences": q_pack_sequences,
         # --- marquee operators / bench headliners ---
         "q_er_pipeline": q_er_pipeline,
         "q_name_match": q_name_match,
@@ -1563,9 +1574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embed_lsh": q_dedup_embed_lsh,
         "q_ivf_assign": q_ivf_assign,
         "q_ivf_topk": q_ivf_topk,
-        "q_quality_score": q_quality_score,
         # --- derivative shapes, driver-green in r01-r03 archives,
         #     or rows-only (q_multimodal_features) ---
+        "q_quality_score": q_quality_score,
         "q_token_count": q_token_count,
         "q_multimodal_features": q_multimodal_features,
         "q_names_from_entity": q_names_from_entity,
@@ -2005,6 +2016,27 @@ def oracle_sql() -> dict[str, str]:
                        '{_sq(IPV4_PATTERN)}', '<IP>', 'g'),
                        '{_sq(PHONE_PATTERN)}', '<PHONE>', 'g') AS text
             FROM t
+        """,
+        # concat-and-chunk packing placement: exclusive running token sum
+        # per source stream, chunked into budget-512 sequences
+        "q_pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS start_offset
+              FROM t
+            )
+            SELECT doc_id, source, n_tokens, start_offset,
+                   start_offset // 512 AS seq_id,
+                   start_offset % 512 AS seq_offset
+            FROM c
         """,
         # per-row-rate hash sampling: the same floor(rate*16^8) hex
         # threshold expression the Spark sampler builds

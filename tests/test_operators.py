@@ -851,3 +851,65 @@ def test_sample_rows_by_rate_edge_rates(spark):
     kept = {r["k"] for r in sampling.sample_rows_by_rate(docs, ["k"], "rate").collect()}
     # rate>=1 keeps all, 0/null drop all
     assert kept == set(range(30)) | set(range(80, 100))
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    """Placement equals a sequential concat-and-chunk replay."""
+    from osm_wikidata_spark.operators import packing
+
+    rows = [(i, "g1" if i % 2 == 0 else "g2", (i * 7) % 40 + 1) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens int")
+    got = {
+        r["doc_id"]: (r["start_offset"], r["seq_id"], r["seq_offset"])
+        for r in packing.pack_sequences(docs, 64, group_col="source").collect()
+    }
+    # sequential replay per group in doc_id order
+    for grp in ("g1", "g2"):
+        offset = 0
+        for i, g, n in sorted(rows):
+            if g != grp:
+                continue
+            assert got[i] == (offset, offset // 64, offset % 64)
+            offset += n
+
+
+def test_pack_sequences_global_and_edges(spark):
+    from osm_wikidata_spark.operators import packing
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, 30)], "doc_id bigint, n_tokens int"
+    )
+    got = {
+        r["doc_id"]: (r["start_offset"], r["seq_id"], r["seq_offset"])
+        for r in packing.pack_sequences(docs, 64).collect()
+    }
+    # doc 1 spans seqs 0-1; zero-token doc 2 occupies no stream space
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (100, 1, 36)
+    assert got[3] == (100, 1, 36)
+    with _pytest.raises(ValueError):
+        packing.pack_sequences(docs, 0)
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """Placement is a pure function of the data — identical after an
+    arbitrary repartition (the determinism the oracle relies on)."""
+    from osm_wikidata_spark.operators import packing
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        ((F.col("id") * 13) % 50 + 1).alias("n_tokens"),
+    )
+    a = {
+        (r["doc_id"], r["seq_id"], r["seq_offset"])
+        for r in packing.pack_sequences(docs, 128, group_col="source").collect()
+    }
+    b = {
+        (r["doc_id"], r["seq_id"], r["seq_offset"])
+        for r in packing.pack_sequences(
+            docs.repartition(17, "n_tokens"), 128, group_col="source"
+        ).collect()
+    }
+    assert a == b
