@@ -904,6 +904,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return packing.pack_sequences(docs, 512, group_col="source")
 
+    def q_duplicate_spans(spark, sf):
+        # substring-level dedup (Lee et al. 2021 shape): a deterministic
+        # boilerplate tail is appended to 30% of docs; flagged windows are
+        # the tail substrings whose stride alignment coincides across docs
+        from osm_wikidata_spark.operators import spans
+
+        boiler = (
+            " copyright notice this document is provided as is without"
+            " warranty of any kind express or implied use at your own risk"
+        )
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                "text",
+                F.when(F.col("doc_id") % 10 < 3, F.lit(boiler)).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return spans.duplicate_spans(docs, window=8, stride=4)
+
     def q_sample_weighted(spark, sf):
         # quality-weighted selection: each doc survives with probability
         # quality^2 (its own per-row rate) — deterministic content-hash
@@ -1548,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_sample_weighted": q_sample_weighted,
         "q_pack_sequences": q_pack_sequences,
+        "q_duplicate_spans": q_duplicate_spans,
         # --- marquee operators / bench headliners ---
         "q_er_pipeline": q_er_pipeline,
         "q_name_match": q_name_match,
@@ -1568,7 +1588,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
-        "q_embed_topk": q_embed_topk,
         "q_embed_lsh_topk": q_embed_lsh_topk,
         "q_dedup_embed": q_dedup_embed,
         "q_dedup_embed_lsh": q_dedup_embed_lsh,
@@ -1576,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         # --- derivative shapes, driver-green in r01-r03 archives,
         #     or rows-only (q_multimodal_features) ---
+        "q_embed_topk": q_embed_topk,
         "q_quality_score": q_quality_score,
         "q_token_count": q_token_count,
         "q_multimodal_features": q_multimodal_features,
@@ -2016,6 +2036,47 @@ def oracle_sql() -> dict[str, str]:
                        '{_sq(IPV4_PATTERN)}', '<IP>', 'g'),
                        '{_sq(PHONE_PATTERN)}', '<PHONE>', 'g') AS text
             FROM t
+        """,
+        # windowed substring dedup over the boilerplate-injected view;
+        # struct list-comprehension mirrors the Spark (start, win) explode
+        "q_duplicate_spans": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     concat(text, CASE WHEN doc_id % 10 < 3
+                       THEN ' copyright notice this document is provided as is without warranty of any kind express or implied use at your own risk'
+                       ELSE '' END) AS text
+              FROM documents
+            ), d AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+              FROM t
+            ), pos AS (
+              SELECT doc_id,
+                     unnest([{'s': i, 'win': array_to_string(w[i:i+7], ' ')}
+                             FOR i IN generate_series(1, greatest(len(w) - 7, 1))
+                             IF ((i - 1) % 4 = 0) AND (i <= len(w) - 7)]) AS p
+              FROM d
+            ), pc AS (
+              SELECT doc_id, p['s'] AS start, p['s'] + 7 AS e, p['win'] AS win FROM pos
+            ), c AS (
+              SELECT win FROM pc GROUP BY win HAVING count(*) >= 2
+            ), f AS (
+              SELECT doc_id, start, e FROM pc JOIN c USING (win)
+            ), g AS (
+              SELECT doc_id, start, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY start, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
+              FROM f
+            ), h AS (
+              SELECT doc_id, start, e,
+                     sum(CASE WHEN reach IS NULL OR start > reach + 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY start, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_grp
+              FROM g
+            )
+            SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
+                   count(*) AS n_windows
+            FROM h GROUP BY doc_id, span_grp
         """,
         # concat-and-chunk packing placement: exclusive running token sum
         # per source stream, chunked into budget-512 sequences

@@ -1,0 +1,107 @@
+"""Duplicated-span detection: substring-level dedup within documents.
+
+Document-level dedup (exact/minhash/simhash) misses the common corpus
+pathology of long shared spans inside otherwise-distinct documents —
+boilerplate headers, license blocks, quoted chain-mails.  Lee et al. 2021
+("Deduplicating Training Data Makes Language Models Better") remove any
+substring repeated across the corpus using a suffix array; a suffix array
+is inherently sequential, so the standard distributed approximation is a
+sliding window-hash index: every ``window``-word window at ``stride``
+spacing is keyed, windows whose key occurs more than once anywhere in the
+corpus are flagged, and per document the flagged windows are merged into
+maximal spans (the cut/drop list for the downstream rewrite).
+
+Exactness contract: windows are keyed on their literal text, so a flagged
+span IS a verbatim repeat (no hash false positives) and every repeated
+span of at least ``window + stride - 1`` words is guaranteed to contain a
+flagged window at any alignment (a repeat shorter than ``window`` words
+is invisible by construction — that is the approximation, and
+``window``/``stride`` are the knobs).  At corpus scale swap the join key
+for ``xxhash64(window_text)`` to shrink the shuffle (collision risk
+2^-64; same plan shape) — the same note as contamination.py.
+
+Scale shape: one posexplode (~len/stride rows per doc), one count
+aggregation on the window key, one hash join back to positions, then a
+per-document gaps-and-islands merge (two window functions over the doc
+partition).  The count side defuses its own hot keys: a boilerplate
+window occurring 10^6 times is ONE count row; the join fan-out equals the
+number of flagged positions, which is the size of the answer itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import normalize_text
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    window: int = 20,
+    stride: int = 10,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated spans per document.
+
+    Returns ``(doc_id, span_start, span_end, n_windows)`` — 1-based
+    inclusive WORD indexes into the normalised text, one row per maximal
+    run of flagged windows (overlapping or adjacent windows merge), with
+    the number of flagged windows merged into the run.  A window is
+    flagged when its exact text occurs ``min_count``-or-more times across
+    all positions of all documents (within-document repeats count).
+    Documents shorter than ``window`` words emit nothing.
+    """
+    if stride < 1 or window < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
+    words = F.split(normalize_text(text_col), " ")
+    # windows built array-side THEN exploded as (start, win) structs, so
+    # the full word array never rides the exploded rows
+    # NB: sequence(1, 0) would DESCEND, so the upper bound clamps to 1 and
+    # the i <= limit predicate empties short docs instead
+    limit = F.size(words) - (window - 1)
+    wins = F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(limit, F.lit(1))),
+            lambda i: ((i - 1) % stride == 0) & (i <= limit),
+        ),
+        lambda i: F.struct(
+            i.alias("start"), F.array_join(F.slice(words, i, window), " ").alias("win")
+        ),
+    )
+    positions = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(wins).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.start").alias("start"),
+        (F.col("s.start") + (window - 1)).alias("end"),
+        F.col("s.win").alias("win"),
+    )
+
+    counts = (
+        positions.groupBy("win")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("win")
+    )
+    flagged = positions.join(counts, "win").select("doc_id", "start", "end")
+
+    # gaps-and-islands: a new span begins where a window starts beyond
+    # every earlier window's reach (+1 so adjacent windows merge too)
+    by_start = Window.partitionBy("doc_id").orderBy("start", "end")
+    reach = F.max("end").over(by_start.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = flagged.withColumn(
+        "new_span",
+        F.when(reach.isNull() | (F.col("start") > reach + 1), 1).otherwise(0),
+    ).withColumn(
+        "span_grp",
+        F.sum("new_span").over(
+            by_start.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return grouped.groupBy("doc_id", "span_grp").agg(
+        F.min("start").alias("span_start"),
+        F.max("end").alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")

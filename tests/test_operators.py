@@ -913,3 +913,56 @@ def test_pack_sequences_partitioning_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_duplicate_spans_planted_cross_doc(spark):
+    """Two docs sharing a 10-word span at compatible stride alignment:
+    flagged windows merge into exactly the shared span."""
+    from osm_wikidata_spark.operators import spans
+
+    common = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 u3 u4 {common} v1 v2"),   # common at words 5..14
+            (2, f"w1 w2 {common}"),               # common at words 3..12
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in spans.duplicate_spans(docs, window=4, stride=2).collect()
+    }
+    # doc1 flagged starts 5,7,9,11 (texts equal doc2's 3,5,7,9)
+    assert got[1] == (5, 14, 4)
+    assert got[2] == (3, 12, 4)
+
+
+def test_duplicate_spans_within_doc_and_short_doc(spark):
+    from osm_wikidata_spark.operators import spans
+
+    common = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{common} {common}"),  # self-repeat, aligned at stride 2
+            (2, "too short"),           # < window words: no rows at all
+        ],
+        "doc_id bigint, text string",
+    )
+    got = spans.duplicate_spans(docs, window=4, stride=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    # flagged starts 1,3,5,7 and 11,13,15,17; the two runs are adjacent
+    # (end 10, start 11) and merge into one maximal span
+    assert (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"]) == (
+        1, 1, 20, 8,
+    )
+
+
+def test_duplicate_spans_no_duplicates(spark):
+    from osm_wikidata_spark.operators import spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+        "doc_id bigint, text string",
+    )
+    assert spans.duplicate_spans(docs, window=4, stride=2).count() == 0
