@@ -904,6 +904,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return packing.pack_sequences(docs, 512, group_col="source")
 
+    def q_mixture_sample(spark, sf):
+        # pretraining data-mixing: largest sample with src0..src4 in
+        # 5:4:3:2:1 proportion (src0 binds at rate 1.0); strata outside
+        # the recipe are dropped
+        from osm_wikidata_spark.operators import sampling
+
+        docs = _t(spark, sf, "documents").select("doc_id", "source")
+        return sampling.mixture_sample(
+            docs, {f"src{i}": float(5 - i) for i in range(5)}
+        )
+
     def q_duplicate_spans(spark, sf):
         # substring-level dedup (Lee et al. 2021 shape): a deterministic
         # boilerplate tail is appended to 30% of docs; flagged windows are
@@ -1568,12 +1579,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_weighted": q_sample_weighted,
         "q_pack_sequences": q_pack_sequences,
         "q_duplicate_spans": q_duplicate_spans,
+        "q_mixture_sample": q_mixture_sample,
         # --- marquee operators / bench headliners ---
         "q_er_pipeline": q_er_pipeline,
         "q_name_match": q_name_match,
         "q_check_for_match": q_check_for_match,
         "q_address_match": q_address_match,
-        "q_addr_extract": q_addr_extract,
         "q_identifier_match": q_identifier_match,
         "q_matching_tags": q_matching_tags,
         "q_pair_vetoes": q_pair_vetoes,
@@ -1595,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         # --- derivative shapes, driver-green in r01-r03 archives,
         #     or rows-only (q_multimodal_features) ---
+        "q_addr_extract": q_addr_extract,
         "q_embed_topk": q_embed_topk,
         "q_quality_score": q_quality_score,
         "q_token_count": q_token_count,
@@ -2036,6 +2048,25 @@ def oracle_sql() -> dict[str, str]:
                        '{_sq(IPV4_PATTERN)}', '<IP>', 'g'),
                        '{_sq(PHONE_PATTERN)}', '<PHONE>', 'g') AS text
             FROM t
+        """,
+        # data-mixing: per-stratum counts -> binding capacity -> rates ->
+        # the same hex-threshold keep decision as q_sample_weighted
+        "q_mixture_sample": r"""
+            WITH tgt(source, w) AS (VALUES
+              ('src0', 5.0/15.0), ('src1', 4.0/15.0), ('src2', 3.0/15.0),
+              ('src3', 2.0/15.0), ('src4', 1.0/15.0)),
+            cnt AS (
+              SELECT t.source, coalesce(c.n, 0) AS n, t.w
+              FROM tgt t LEFT JOIN (
+                SELECT source, count(*) AS n FROM documents GROUP BY source
+              ) c USING (source)
+            ), cap AS (SELECT min(floor(n / w)) AS cap FROM cnt),
+            rates AS (SELECT source, least(w * cap / n, 1.0) AS rate FROM cnt, cap)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates r USING (source)
+            WHERE r.rate >= 1.0
+               OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  < lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
         """,
         # windowed substring dedup over the boilerplate-injected view;
         # struct list-comprehension mirrors the Spark (start, win) explode

@@ -59,6 +59,12 @@ HEADLINE = [
     "q_entity_payload_parse",
     "q_osm_changeset_edits",
     "q_er_pipeline",
+    # round-4 training-data additions with non-trivial plans (explodes /
+    # window aggs); the pure scan-shaped ones (pii, sampling) cost noise
+    "q_decontaminate",
+    "q_repetition_stats",
+    "q_duplicate_spans",
+    "q_pack_sequences",
 ]
 
 

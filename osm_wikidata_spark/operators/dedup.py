@@ -173,6 +173,62 @@ def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
     )
 
 
+def minhash_band_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, band, bucket) banded-MinHash LSH keys — the shared kernel of
+    :func:`minhash_lsh_pairs` (batch self-join) and the incremental state
+    in ``streaming/neardup.py`` (new-batch keys probed against the
+    accumulated key table).  Keys are a pure per-document function, so the
+    two paths are candidate-equivalent by construction.
+    """
+    rows_per_band = n_hashes // bands
+    # flat explode + groupBy(min×n) instead of nested array expressions:
+    # keeps the per-row expression tree small so whole-stage codegen holds,
+    # and the mins combine map-side (same pattern as simhash_table).
+    # xxhash64 (seeded per hash function) instead of seeded md5: ~an order
+    # of magnitude cheaper per shingle and the min-wise property only needs
+    # a uniform hash family, not a cryptographic one.
+    shingled = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    mins = shingled.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    # band bucket = one xxhash64 over the band's min columns — no signature
+    # array materialisation, no string hashing
+    return mins.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"m{i}")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -197,46 +253,7 @@ def minhash_lsh_pairs(
     this call (cache-lifetime contract of :func:`ngram_jaccard_pairs`), so
     the OWNING plan layer enables it, not the library default.
     """
-    rows_per_band = n_hashes // bands
-    # flat explode + groupBy(min×n) instead of nested array expressions:
-    # keeps the per-row expression tree small so whole-stage codegen holds,
-    # and the mins combine map-side (same pattern as simhash_table).
-    # xxhash64 (seeded per hash function) instead of seeded md5: ~an order
-    # of magnitude cheaper per shingle and the min-wise property only needs
-    # a uniform hash family, not a cryptographic one.
-    shingled = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    )
-    mins = shingled.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    # band bucket = one xxhash64 over the band's min columns — no signature
-    # array materialisation, no string hashing
-    band_keys = mins.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"m{i}")
-                                for i in range(
-                                    b * rows_per_band, (b + 1) * rows_per_band
-                                )
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    band_keys = minhash_band_keys(docs, id_col, text_col, n_hashes, bands, shingle_n)
 
     # band_keys feeds the bucket-size count and both self-join sides (no
     # ReusedExchange across them — verified in the formatted plan), so the

@@ -95,6 +95,70 @@ def sample_rows_by_rate(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "source",
+    key_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Data-mixing sampler: draw the LARGEST sample whose strata follow
+    the ``targets`` proportions exactly in expectation — the "mix web at
+    50%, books at 30%, code at 20%" step of every pretraining recipe.
+
+    The binding stratum sets the capacity: ``cap = min_s floor(n_s/w_s)``
+    is the largest total for which every stratum can supply its share, so
+    stratum s keeps ``rate_s = w_s·cap/n_s`` of its rows (the binding
+    stratum keeps ~all of them).  Everything — counts, capacity, rates,
+    the keep decision — is DataFrame algebra over a tiny per-stratum dim
+    (broadcast both ways), so there is no driver-side collect and the
+    whole computation is a pure, partitioning-independent function of the
+    data (hence the exact SQL oracle).  The keep decision reuses the
+    per-row-rate hex-threshold of :func:`sample_rows_by_rate`, so staged
+    re-mixing is monotone-reproducible the same way.
+
+    ``targets`` must be positive; strata missing from ``targets`` are
+    dropped (inner join), and a target stratum absent from the data makes
+    the capacity 0 (nothing can satisfy the mixture) — callers see an
+    empty result rather than a silently skewed one.
+    """
+    if not targets or any(w <= 0 for w in targets.values()):
+        raise ValueError("targets must be a non-empty map of positive weights")
+    spark = docs.sparkSession
+    total_w = sum(targets.values())
+    tgt = spark.createDataFrame(
+        [(k, float(v) / total_w) for k, v in targets.items()],
+        f"{strata_col} string, w double",
+    )
+    counts = (
+        # tgt is the preserved side, so the per-stratum aggregate is the
+        # build side of the left join; UNHINTED because its cardinality is
+        # data-dependent (#distinct sources) — AQE broadcasts when small
+        tgt.join(docs.groupBy(strata_col).agg(F.count("*").alias("n")),
+                 strata_col, "left")
+        .select(strata_col, F.coalesce("n", F.lit(0)).alias("n"), "w")
+    )
+    capacity = counts.select(
+        F.min(F.floor(F.col("n") / F.col("w"))).alias("cap")
+    )
+    rates = counts.crossJoin(F.broadcast(capacity)).select(
+        strata_col,
+        # try_divide: a target stratum absent from the data has n = 0 (and
+        # forces cap = 0); its null rate never joins a doc row anyway
+        F.least(F.try_divide(F.col("w") * F.col("cap"), F.col("n")), F.lit(1.0)).alias("rate"),
+    )
+    rated = docs.join(F.broadcast(rates), strata_col)
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.floor(F.col("rate") * F.lit(float(_SPACE))).cast("bigint")),
+            8,
+            "0",
+        )
+    )
+    return rated.filter(
+        F.when(F.col("rate") >= 1.0, F.lit(True)).otherwise(hash_key(key_cols) < thr)
+    ).drop("rate")
+
+
 def sample_pairs_stratified(
     edges: DataFrame,
     rates: dict[str, float],

@@ -1,0 +1,159 @@
+"""Incremental / streaming MinHash near-dup dedup over a document stream.
+
+``streaming/dedup.py`` dedups EXACT duplicates at ingest with watermark-
+bounded state; this module is the fuzzy counterpart: as new document
+files land, compute banded-MinHash keys for the batch only, probe them
+against the accumulated key table, emit the new candidate pairs, and fold
+them into the running transitive cluster assignment — the streaming
+analogue of ``dedup.minhash_lsh_pairs`` + ``dedup.near_dup_clusters``,
+without ever re-keying the accumulated corpus.
+
+Equivalence contract (pinned by tests/test_streaming.py): with the bucket
+cap disabled, the UNION of per-batch pair outputs equals a full batch
+``minhash_lsh_pairs`` run over the concatenated corpus, and the committed
+assignment equals a full ``near_dup_clusters`` recompute — keys are a
+pure per-document function, a pair is emitted exactly once (in the batch
+where its LATER document arrives, which by then sees every shared
+bucket), and ``incremental_components`` preserves min-labels.
+
+With ``max_bucket`` set, the cap is PROGRESSIVE: once a bucket's global
+membership exceeds the cap it stops emitting new pairs (anti-join against
+the broadcast hot list, the blocks-path pattern from incremental.py), but
+pairs it emitted while small persist — streaming outputs are append-only,
+so the batch run's drop-the-whole-bucket semantics cannot be replayed.
+That divergence is inherent to any monotone streaming cap and is the
+documented contract, mirrored by `incremental_edges_batch`'s global
+re-cap of accumulated blocks.
+
+State rides the same object-store-safe manifest-pointer generation layout
+as incremental.py: ``gen-NNNNNN/band_keys`` (doc, band, bucket — linear
+in corpus size) and ``gen-NNNNNN/assignments`` (node, component).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.components import incremental_components
+from ..operators.dedup import minhash_band_keys
+from .incremental import _commit_generation, _next_generation, current_generation
+
+DOCUMENT_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _live_path(state_dir: str, name: str) -> str | None:
+    gen = current_generation(state_dir)
+    if gen is None:
+        return None
+    path = os.path.join(state_dir, gen, name)
+    return path if os.path.exists(os.path.join(path, "_SUCCESS")) else None
+
+
+def incremental_neardup_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = 50,
+) -> DataFrame:
+    """Process one micro-batch of documents: return the batch's new
+    candidate pairs ``(left_id, right_id, band)`` and commit a new state
+    generation (accumulated band keys + updated cluster assignment)."""
+    new_keys = minhash_band_keys(
+        batch_docs, id_col, text_col, n_hashes, bands, shingle_n
+    )
+
+    live = _live_path(state_dir, "band_keys")
+    if live is not None:
+        old_keys = spark.read.parquet(live)
+        # retry-safe: a replayed micro-batch re-unions identical rows
+        all_keys = old_keys.unionByName(new_keys).dropDuplicates(
+            ["doc", "band", "bucket"]
+        )
+    else:
+        all_keys = new_keys.dropDuplicates(["doc", "band", "bucket"])
+
+    # progressive cap against GLOBAL bucket sizes (see module docstring);
+    # the hot list is small by construction -> broadcast anti-join, the
+    # same shape incremental_edges_batch uses for hot blocks
+    if max_bucket is not None:
+        sizes = all_keys.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+        hot = F.broadcast(
+            sizes.filter(F.col("n") > max_bucket).select("band", "bucket")
+        )
+        probe = new_keys.join(hot, ["band", "bucket"], "left_anti")
+        build = all_keys.join(hot, ["band", "bucket"], "left_anti")
+    else:
+        probe, build = new_keys, all_keys
+
+    pairs = (
+        probe.select(F.col("doc").alias("p"), "band", "bucket")
+        .join(build.select(F.col("doc").alias("b"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("p") != F.col("b"))
+        # drop probe-probe double counting and orient every pair once
+        .select(
+            F.least("p", "b").alias("left_id"),
+            F.greatest("p", "b").alias("right_id"),
+            "band",
+        )
+        .groupBy("left_id", "right_id")
+        .agg(F.min("band").alias("band"))
+    )
+    # a pair emits only in the batch where its LATER doc arrives; pairs
+    # between two old docs never rejoin because probe is new_keys only.
+    # Within that batch every shared bucket is visible (both docs' keys
+    # are in `build`), so min(band) matches the full batch recompute.
+    pairs = pairs.localCheckpoint(eager=True)
+
+    gen = _next_generation(state_dir)
+    gen_dir = os.path.join(state_dir, gen)
+    all_keys.write.mode("overwrite").parquet(os.path.join(gen_dir, "band_keys"))
+
+    prev_path = _live_path(state_dir, "assignments")
+    prev = (
+        spark.read.parquet(prev_path)
+        if prev_path is not None
+        else spark.createDataFrame([], "node bigint, component bigint")
+    )
+    incremental_components(prev, pairs).write.mode("overwrite").parquet(
+        os.path.join(gen_dir, "assignments")
+    )
+    _commit_generation(state_dir, gen)
+    return pairs
+
+
+def stream_documents(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    pairs_dir: str,
+    max_bucket: int | None = 50,
+):
+    """Wire the incremental near-dup batch into Structured Streaming."""
+    stream = (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def _for_each(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_neardup_batch(
+            spark, batch_df, state_dir, max_bucket=max_bucket
+        )
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            pairs_dir
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_for_each)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -966,3 +966,47 @@ def test_duplicate_spans_no_duplicates(spark):
         "doc_id bigint, text string",
     )
     assert spans.duplicate_spans(docs, window=4, stride=2).count() == 0
+
+
+def test_mixture_sample_proportions(spark):
+    """Output strata follow the target mixture; binding stratum keeps
+    (nearly) everything; off-recipe strata are dropped."""
+    from osm_wikidata_spark.operators import sampling
+
+    docs = spark.range(0, 40000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "web")
+        .when(F.col("id") % 4 == 1, "books")
+        .when(F.col("id") % 4 == 2, "code")
+        .otherwise("junk")
+        .alias("source"),
+    )
+    # 10k rows per stratum; weights 2:1:1 -> web binds: cap = 10k/0.5 = 20k
+    got = (
+        sampling.mixture_sample(docs, {"web": 2.0, "books": 1.0, "code": 1.0})
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    by = {r["source"]: r["count"] for r in got}
+    assert "junk" not in by
+    assert by["web"] == 10000                       # rate 1.0 exactly
+    assert 0.45 * 10000 < by["books"] < 0.55 * 10000  # rate 0.5
+    assert 0.45 * 10000 < by["code"] < 0.55 * 10000
+
+
+def test_mixture_sample_edges(spark):
+    from osm_wikidata_spark.operators import sampling
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id bigint, source string"
+    )
+    # a target stratum absent from the data -> capacity 0 -> empty, not skewed
+    assert (
+        sampling.mixture_sample(docs, {"a": 1.0, "missing": 1.0}).count() == 0
+    )
+    with _pytest.raises(ValueError):
+        sampling.mixture_sample(docs, {"a": 0.0})
+    with _pytest.raises(ValueError):
+        sampling.mixture_sample(docs, {})

@@ -358,3 +358,99 @@ def test_incremental_assignments_equal_batch_cc(spark, tmp_path):
             for r in connected_components(full).collect()
         }
         assert got == want
+
+
+def _neardup_corpus(spark):
+    """30 docs: 10 near-dup triplets (tiny per-copy edits) with distinct
+    vocab per family, so minhash bands collide within families only."""
+    rows = []
+    for fam in range(10):
+        base = " ".join(f"w{fam}_{i}" for i in range(30))
+        rows.append((fam * 3 + 0, base))
+        rows.append((fam * 3 + 1, base + " extra"))
+        rows.append((fam * 3 + 2, "lead " + base))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_incremental_neardup_equals_full_run(spark, tmp_path):
+    """Uncapped: unioned per-batch pairs == batch minhash_lsh_pairs over
+    the whole corpus, and committed assignments == full CC recompute."""
+    import os
+
+    from osm_wikidata_spark.operators import dedup
+    from osm_wikidata_spark.operators.components import connected_components
+    from osm_wikidata_spark.streaming.neardup import (
+        _live_path,
+        incremental_neardup_batch,
+    )
+
+    docs = _neardup_corpus(spark)
+    state = os.path.join(str(tmp_path), "nd_state")
+    folded = set()
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        got = incremental_neardup_batch(spark, batch, state, max_bucket=None)
+        folded |= {(r["left_id"], r["right_id"], r["band"]) for r in got.collect()}
+
+    full_pairs = dedup.minhash_lsh_pairs(docs, max_bucket=None)
+    full = {(r["left_id"], r["right_id"], r["band"]) for r in full_pairs.collect()}
+    assert folded == full and full
+
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(full_pairs).collect()
+    }
+    state_assign = spark.read.parquet(_live_path(state, "assignments"))
+    assert {(r["node"], r["component"]) for r in state_assign.collect()} == want
+
+
+def test_incremental_neardup_progressive_cap(spark, tmp_path):
+    """A bucket crossing the global cap stops emitting new pairs in later
+    batches (earlier emissions persist — append-only contract)."""
+    import os
+
+    from osm_wikidata_spark.streaming.neardup import incremental_neardup_batch
+
+    boiler = " ".join(f"b{i}" for i in range(30))
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, boiler) for i in range(lo, hi)], "doc_id bigint, text string"
+    )
+    state = os.path.join(str(tmp_path), "cap_state")
+    first = incremental_neardup_batch(spark, mk(0, 3), state, max_bucket=5)
+    assert first.count() == 3  # 3 identical docs -> 3 pairs, under cap
+    # 7 more copies push every shared bucket to 10 > 5: nothing new emits
+    second = incremental_neardup_batch(spark, mk(3, 10), state, max_bucket=5)
+    assert second.count() == 0
+
+
+def test_neardup_stream_end_to_end(spark, tmp_path):
+    """stream_documents over file-split input reproduces the full-run
+    pair set through the Structured Streaming wiring."""
+    import os
+
+    from osm_wikidata_spark.operators import dedup
+    from osm_wikidata_spark.streaming.neardup import stream_documents
+
+    docs = _neardup_corpus(spark).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.length("text").alias("n_chars"),
+    )
+    src = os.path.join(str(tmp_path), "nd_src")
+    for lo, hi in ((0, 15), (15, 30)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    state = os.path.join(str(tmp_path), "nd2_state")
+    ckpt = os.path.join(str(tmp_path), "nd2_ckpt")
+    out = os.path.join(str(tmp_path), "nd2_pairs")
+    q = stream_documents(spark, src, state, ckpt, out, max_bucket=None)
+    q.awaitTermination(120)
+    got = {
+        (r["left_id"], r["right_id"], r["band"])
+        for r in spark.read.parquet(out).collect()
+    }
+    full = {
+        (r["left_id"], r["right_id"], r["band"])
+        for r in dedup.minhash_lsh_pairs(docs, max_bucket=None).collect()
+    }
+    assert got == full and full
