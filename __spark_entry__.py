@@ -1906,7 +1906,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id % 7 = 0
             ), fp AS (
               SELECT doc_id,
-                     md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+                     md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
               FROM corpus
             )
             SELECT doc_id, fingerprint,
