@@ -915,6 +915,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, {f"src{i}": float(5 - i) for i in range(5)}
         )
 
+    def _boiler_docs(spark, sf):
+        # the 8-word-line view plus deterministic cross-document
+        # boilerplate: a header in half the docs under TWO spellings that
+        # normalise identically (case/whitespace folding is part of what
+        # the operator must get right) and a footer in a third — the
+        # oracle builds the identical view
+        d = _reshaped_docs(spark, sf)
+        header = (
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("subscribe to our newsletter today\n"),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.lit("Subscribe  To Our   Newsletter Today\n"),
+            )
+            .otherwise(F.lit(""))
+        )
+        footer = F.when(
+            F.col("doc_id") % 3 == 0, F.lit("\nall rights reserved worldwide")
+        ).otherwise(F.lit(""))
+        return d.select(
+            "doc_id", F.concat(header, F.col("text"), footer).alias("text")
+        )
+
+    def q_line_dedup(spark, sf):
+        # CCNet-style line-level boilerplate removal (Wenzek et al. 2020):
+        # lines present in >= 10 distinct docs are dropped corpus-wide
+        from osm_wikidata_spark.operators import boilerplate
+
+        return boilerplate.line_dedup(_boiler_docs(spark, sf), min_docs=10)
+
+    def q_c4_filters(spark, sf):
+        # C4 heuristic line/document filters (Raffel et al. 2020 §2.2);
+        # terminal punctuation is injected on alternating derived lines
+        # (docs with doc_id%6==5 get none -> fail the sentence floor),
+        # lorem-ipsum / curly-brace marker docs keyed on doc_id
+        from osm_wikidata_spark.operators import boilerplate
+
+        d = _reshaped_docs(spark, sf)
+        punct = F.transform(
+            F.split(F.col("text"), "\n"),
+            lambda ln, j: F.when(
+                ((F.col("doc_id") + j) % 2 == 0) & (F.col("doc_id") % 6 != 5),
+                F.concat(ln, F.lit(".")),
+            ).otherwise(ln),
+        )
+        tail = (
+            F.when(F.col("doc_id") % 37 == 0, F.lit("\nsee Lorem Ipsum dolor."))
+            .when(F.col("doc_id") % 41 == 0, F.lit("\nfunction() { return; }"))
+            .otherwise(F.lit(""))
+        )
+        d2 = d.select(
+            "doc_id",
+            F.concat(F.array_join(punct, "\n"), tail).alias("text"),
+        )
+        return boilerplate.c4_line_filters(d2)
+
+    def q_render_conversations(spark, sf):
+        # chat-template rendering of a transcripts-shaped table with
+        # whole-turn token-budget truncation; turn sizes are keyed on
+        # (o_orderkey, turn_idx) so the budget cuts mid-conversation,
+        # first-turn-overflow conversations render empty
+        from osm_wikidata_spark.operators import boilerplate
+
+        convs = (
+            _t(spark, sf, "orders")
+            .filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") <= 12000))
+            .select(
+                F.format_string("conv-%08d", F.col("o_orderkey")).alias("conv_id"),
+                F.col("o_orderkey").alias("k"),
+            )
+        )
+        turns = convs.join(
+            spark.range(4).select(F.col("id").cast("int").alias("turn_idx")),
+            how="cross",
+        )
+        reps = (
+            F.when((F.col("k") % 21 == 0) & (F.col("turn_idx") == 0), F.lit(60))
+            .when((F.col("k") % 3 == 0) & (F.col("turn_idx") == 1), F.lit(35))
+            .otherwise(
+                (F.floor(F.col("k") / 7) + 5 * F.col("turn_idx")) % 9 + 1
+            )
+        )
+        t = turns.select(
+            "conv_id",
+            "turn_idx",
+            F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.concat(
+                F.array_join(F.array_repeat(F.lit("tok"), reps.cast("int")), " "),
+                F.lit(" end."),
+            ).alias("text"),
+            F.when(F.col("turn_idx") == 2, F.lit("lookup")).alias("tool"),
+        )
+        return boilerplate.render_conversations(t, token_budget=40)
+
     def q_duplicate_spans(spark, sf):
         # substring-level dedup (Lee et al. 2021 shape): a deterministic
         # boilerplate tail is appended to 30% of docs; flagged windows are
@@ -1580,16 +1678,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_duplicate_spans": q_duplicate_spans,
         "q_mixture_sample": q_mixture_sample,
+        "q_line_dedup": q_line_dedup,
+        "q_c4_filters": q_c4_filters,
+        "q_render_conversations": q_render_conversations,
         # --- marquee operators / bench headliners ---
         "q_er_pipeline": q_er_pipeline,
         "q_name_match": q_name_match,
         "q_check_for_match": q_check_for_match,
         "q_address_match": q_address_match,
         "q_identifier_match": q_identifier_match,
-        "q_matching_tags": q_matching_tags,
-        "q_pair_vetoes": q_pair_vetoes,
         "q_blocking_join": q_blocking_join,
-        "q_multi_match_veto": q_multi_match_veto,
         "q_resolve_one_to_one": q_resolve_one_to_one,
         "q_connected_components": q_connected_components,
         "q_audit_metrics": q_audit_metrics,
@@ -1606,6 +1704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         # --- derivative shapes, driver-green in r01-r03 archives,
         #     or rows-only (q_multimodal_features) ---
+        "q_matching_tags": q_matching_tags,
+        "q_pair_vetoes": q_pair_vetoes,
+        "q_multi_match_veto": q_multi_match_veto,
         "q_addr_extract": q_addr_extract,
         "q_embed_topk": q_embed_topk,
         "q_quality_score": q_quality_score,
@@ -2111,6 +2212,136 @@ def oracle_sql() -> dict[str, str]:
         """,
         # concat-and-chunk packing placement: exclusive running token sum
         # per source stream, chunked into budget-512 sequences
+        # CCNet line-level boilerplate removal over the injected-header/
+        # footer view; frequency over DISTINCT docs, left join mirrors
+        # the Spark marker join
+        "q_line_dedup": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     array_to_string([array_to_string(w[(j*8+1):(j*8+8)], ' ')
+                                      FOR j IN generate_series(0, (len(w)-1)//8)],
+                                     chr(10)) AS txt
+              FROM d
+            ), b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our newsletter today' || chr(10)
+                          WHEN doc_id % 4 = 1 THEN 'Subscribe  To Our   Newsletter Today' || chr(10)
+                          ELSE '' END
+                     || txt ||
+                     CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved worldwide'
+                          ELSE '' END AS text
+              FROM r
+            ), l0 AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM b
+            ), lines0 AS (
+              SELECT doc_id,
+                     unnest([{'pos': j, 'line': ls[j]}
+                             FOR j IN generate_series(1, len(ls))]) AS s
+              FROM l0
+            ), lines AS (
+              SELECT doc_id, s.pos AS pos, s.line AS line,
+                     trim(regexp_replace(lower(s.line), '\s+', ' ', 'g')) AS norm
+              FROM lines0
+            ), boiler AS (
+              SELECT norm FROM (SELECT DISTINCT doc_id, norm FROM lines)
+              GROUP BY norm HAVING count(*) >= 10
+            ), m AS (
+              SELECT l.doc_id, l.pos, l.line, (b2.norm IS NOT NULL) AS is_b
+              FROM lines l LEFT JOIN boiler b2 USING (norm)
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT is_b THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   count(CASE WHEN NOT is_b THEN 1 END) AS n_lines_kept,
+                   count(CASE WHEN is_b THEN 1 END) AS n_lines_removed
+            FROM m GROUP BY doc_id
+        """,
+        # C4 line/doc heuristics over the punct-injected view; the line
+        # lambda is the same terminal-punct + >=5-words rule
+        "q_c4_filters": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     string_split(
+                       array_to_string([array_to_string(w[(j*8+1):(j*8+8)], ' ')
+                                        FOR j IN generate_series(0, (len(w)-1)//8)],
+                                       chr(10)),
+                       chr(10)) AS ls
+              FROM d
+            ), p AS (
+              SELECT doc_id,
+                     array_to_string(
+                       [CASE WHEN (doc_id + j - 1) % 2 = 0 AND doc_id % 6 <> 5
+                             THEN ls[j] || '.' ELSE ls[j] END
+                        FOR j IN generate_series(1, len(ls))], chr(10))
+                     || CASE WHEN doc_id % 37 = 0 THEN chr(10) || 'see Lorem Ipsum dolor.'
+                             WHEN doc_id % 41 = 0 THEN chr(10) || 'function() { return; }'
+                             ELSE '' END AS text
+              FROM r
+            ), f AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS arr FROM p
+            ), k AS (
+              SELECT doc_id, text, arr,
+                     list_filter(arr, l -> right(trim(l), 1) IN ('.', '!', '?', '"')
+                                 AND len(regexp_split_to_array(trim(l), '\s+')) >= 5) AS kept,
+                     len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                     contains(text, '{') AS has_curly_brace
+              FROM f
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '') AS text,
+                   len(kept) AS n_lines_kept,
+                   len(arr) - len(kept) AS n_lines_dropped,
+                   n_sentences, has_lorem_ipsum, has_curly_brace,
+                   (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace)
+                     AS keep_doc
+            FROM k
+        """,
+        # chat-template rendering + whole-turn budget-40 truncation; the
+        # running token sum is monotone so cum<=budget IS the prefix rule
+        "q_render_conversations": r"""
+            WITH convs AS (
+              SELECT printf('conv-%08d', o_orderkey) AS conv_id, o_orderkey AS k
+              FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey <= 12000
+            ), turns AS (
+              SELECT conv_id, k, t.turn_idx,
+                     CASE WHEN t.turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+                     CASE WHEN t.turn_idx = 2 THEN 'lookup' END AS tool,
+                     CASE WHEN k % 21 = 0 AND t.turn_idx = 0 THEN 60
+                          WHEN k % 3 = 0 AND t.turn_idx = 1 THEN 35
+                          ELSE (k // 7 + 5 * t.turn_idx) % 9 + 1 END AS reps
+              FROM convs CROSS JOIN (VALUES (0),(1),(2),(3)) t(turn_idx)
+            ), rend AS (
+              SELECT conv_id, turn_idx,
+                     '<|' || role || coalesce(' tool=' || tool, '') || '|>'
+                     || chr(10) || repeat('tok ', reps) || 'end.' AS turn_text
+              FROM turns
+            ), tok AS (
+              SELECT conv_id, turn_idx, turn_text,
+                     len(string_split_regex(trim(turn_text), '\s+')) AS turn_tokens
+              FROM rend
+            ), c AS (
+              SELECT *, sum(turn_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS UNBOUNDED PRECEDING) AS cum
+              FROM tok
+            )
+            SELECT conv_id,
+                   coalesce(string_agg(CASE WHEN cum <= 40 THEN turn_text END,
+                                       chr(10) ORDER BY turn_idx), '') AS text,
+                   count(*) AS n_turns,
+                   count(CASE WHEN cum <= 40 THEN 1 END) AS n_turns_kept,
+                   CAST(coalesce(sum(CASE WHEN cum <= 40 THEN turn_tokens END), 0)
+                        AS BIGINT) AS n_tokens
+            FROM c GROUP BY conv_id
+        """,
         "q_pack_sequences": r"""
             WITH t AS (
               SELECT doc_id, source,

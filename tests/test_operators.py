@@ -1010,3 +1010,98 @@ def test_mixture_sample_edges(spark):
         sampling.mixture_sample(docs, {"a": 0.0})
     with _pytest.raises(ValueError):
         sampling.mixture_sample(docs, {})
+
+
+# ------------------------------------------------------- boilerplate ops
+
+def test_line_dedup_planted(spark):
+    from osm_wikidata_spark.operators import boilerplate
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\nSubscribe Now\nkeep one"),
+            (2, "subscribe  now\nunique line two"),
+            (3, "subscribe now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate.line_dedup(df, min_docs=3).collect()}
+    # case/whitespace-folded 'subscribe now' occurs in 3 distinct docs
+    assert out[1]["text"] == "alpha beta\nkeep one"
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_removed"] == 1
+    assert out[2]["text"] == "unique line two"
+    # a fully-boilerplate doc survives, emptied — not dropped
+    assert out[3]["text"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[3]["n_lines_removed"] == 1
+
+
+def test_line_dedup_intradoc_repeats_dont_count(spark):
+    from osm_wikidata_spark.operators import boilerplate
+
+    df = spark.createDataFrame(
+        [(1, "x y\nx y\nx y"), (2, "other thing")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_lines_removed"]
+        for r in boilerplate.line_dedup(df, min_docs=2).collect()
+    }
+    # doc-frequency of 'x y' is 1 (distinct docs), so nothing is removed
+    assert out[1] == 0 and out[2] == 0
+
+
+def test_c4_line_filters_planted(spark):
+    from osm_wikidata_spark.operators import boilerplate
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five.\nshort line.\nno terminal punct here at all\nsix seven eight nine ten!"),
+            (2, "lorem Ipsum something. a b c d e. f g h i j. k l m n o."),
+            (3, "braces { here maybe. one two three four five."),
+            (4, "only one sentence here ok."),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate.c4_line_filters(df).collect()}
+    # line rule: terminal punct AND >= 5 words
+    assert out[1]["text"] == "one two three four five.\nsix seven eight nine ten!"
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_dropped"] == 2
+    assert out[1]["n_sentences"] == 3 and out[1]["keep_doc"] is True
+    # doc rules fire case-insensitively / on the ORIGINAL text
+    assert out[2]["has_lorem_ipsum"] is True and out[2]["keep_doc"] is False
+    assert out[3]["has_curly_brace"] is True and out[3]["keep_doc"] is False
+    assert out[4]["n_sentences"] == 1 and out[4]["keep_doc"] is False
+
+
+def test_render_conversations(spark):
+    from osm_wikidata_spark.operators import boilerplate
+
+    rows = [
+        ("c1", 0, "user", "hello there", None, None),
+        ("c1", 1, "assistant", "hi", "search", None),
+        ("c1", 2, "user", "bye", None, None),
+        ("c2", 0, "user", "a b c d e f g h i j", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in boilerplate.render_conversations(df).collect()}
+    assert (
+        out["c1"]["text"]
+        == "<|user|>\nhello there\n<|assistant tool=search|>\nhi\n<|user|>\nbye"
+    )
+    assert out["c1"]["n_turns"] == 3 == out["c1"]["n_turns_kept"]
+    # turn tokens: 3 ('<|user|>' hello there) + 3 + 2
+    assert out["c1"]["n_tokens"] == 8
+    assert out["c2"]["n_tokens"] == 11
+
+    budget = {
+        r["conv_id"]: r
+        for r in boilerplate.render_conversations(df, token_budget=6).collect()
+    }
+    # whole-turn truncation: turns 0+1 fit (6 tokens), turn 2 would be 8
+    assert budget["c1"]["n_turns_kept"] == 2 and budget["c1"]["n_tokens"] == 6
+    assert budget["c1"]["text"].endswith("hi")
+    assert budget["c1"]["n_turns"] == 3
+    # first turn alone exceeds the budget -> empty render, row retained
+    assert budget["c2"]["n_turns_kept"] == 0 and budget["c2"]["text"] == ""
