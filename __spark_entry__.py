@@ -1013,6 +1013,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return boilerplate.render_conversations(t, token_budget=40)
 
+    def _qa_transcripts(spark, sf):
+        # transcripts-shaped view with deterministic structural
+        # violations keyed on o_orderkey: role-alternation breaks (%13,
+        # %31), blank turn (%17), stutter turn (%19), tool call on a
+        # user turn (%23), a turn-index gap (%29) — plus canned texts in
+        # TWO spellings that normalise identically (greeting %4 in
+        # {0,2}, disclaimer %5).  The oracle builds the identical view.
+        convs = (
+            _t(spark, sf, "orders")
+            .filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") <= 12000))
+            .select(
+                F.format_string("conv-%08d", F.col("o_orderkey")).alias("conv_id"),
+                F.col("o_orderkey").alias("k"),
+            )
+        )
+        turns = convs.join(
+            spark.range(4).select(F.col("id").cast("int").alias("turn_idx")),
+            how="cross",
+        ).filter(~((F.col("k") % 29 == 0) & (F.col("turn_idx") == 1)))
+        k, ti = F.col("k"), F.col("turn_idx")
+        role = (
+            F.when((k % 31 == 0) & (ti == 0), F.lit("assistant"))
+            .when((k % 13 == 0) & (ti == 2), F.lit("assistant"))
+            .when(ti % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+        )
+        text = (
+            F.when((k % 4 == 0) & (ti == 0), F.lit("hello how can i help you today"))
+            .when((k % 4 == 2) & (ti == 0), F.lit("Hello  How Can I Help You Today"))
+            .when((k % 17 == 0) & (ti == 3), F.lit("  "))
+            .when(
+                (k % 19 == 0) & (ti == 3),
+                F.concat(F.lit("turn 2 of conv "), k.cast("string")),
+            )
+            .when(
+                (k % 5 == 0) & (ti == 3),
+                F.lit("i am not able to provide legal advice"),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("turn "),
+                    ti.cast("string"),
+                    F.lit(" of conv "),
+                    k.cast("string"),
+                )
+            )
+        )
+        tool = F.when((k % 23 == 0) & (ti == 2), F.lit("bad_tool")).when(
+            ti == 1, F.lit("lookup")
+        )
+        return turns.select(
+            "conv_id",
+            "turn_idx",
+            role.alias("role"),
+            text.alias("text"),
+            tool.alias("tool"),
+        )
+
+    def q_conversation_qa(spark, sf):
+        # chat-data structural QA: dense indexing, role alternation,
+        # empty/stutter turns, tool-role consistency (one window + one
+        # agg on the same key -> single shuffle)
+        from osm_wikidata_spark.operators import conversations
+
+        return conversations.conversation_qa(_qa_transcripts(spark, sf))
+
+    def q_canned_turns(spark, sf):
+        # canned-response detection: normalised turn texts recurring in
+        # >= 10 distinct conversations (turn-level line_dedup analog)
+        from osm_wikidata_spark.operators import conversations
+
+        return conversations.canned_turns(_qa_transcripts(spark, sf), min_convs=10)
+
     def q_duplicate_spans(spark, sf):
         # substring-level dedup (Lee et al. 2021 shape): a deterministic
         # boilerplate tail is appended to 30% of docs; flagged windows are
@@ -1681,6 +1754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_c4_filters": q_c4_filters,
         "q_render_conversations": q_render_conversations,
+        "q_conversation_qa": q_conversation_qa,
+        "q_canned_turns": q_canned_turns,
         # --- marquee operators / bench headliners ---
         "q_er_pipeline": q_er_pipeline,
         "q_name_match": q_name_match,
@@ -1692,13 +1767,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_connected_components": q_connected_components,
         "q_audit_metrics": q_audit_metrics,
         "q_transcripts_invariant": q_transcripts_invariant,
-        "q_dedup_exact": q_dedup_exact,
         "q_dedup_canonical": q_dedup_canonical,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_embed_lsh_topk": q_embed_lsh_topk,
-        "q_dedup_embed": q_dedup_embed,
         "q_dedup_embed_lsh": q_dedup_embed_lsh,
         "q_ivf_assign": q_ivf_assign,
         "q_ivf_topk": q_ivf_topk,
@@ -1707,6 +1780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_matching_tags": q_matching_tags,
         "q_pair_vetoes": q_pair_vetoes,
         "q_multi_match_veto": q_multi_match_veto,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_embed": q_dedup_embed,
         "q_addr_extract": q_addr_extract,
         "q_embed_topk": q_embed_topk,
         "q_quality_score": q_quality_score,
@@ -2304,6 +2379,74 @@ def oracle_sql() -> dict[str, str]:
                    (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace)
                      AS keep_doc
             FROM k
+        """,
+        # conversation structural QA over the planted-violation view;
+        # lag window + group-by mirrors the single-shuffle Spark shape
+        "q_conversation_qa": r"""
+            WITH convs AS (
+              SELECT printf('conv-%08d', o_orderkey) AS conv_id, o_orderkey AS k
+              FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey <= 12000
+            ), base AS (
+              SELECT conv_id, k, t.turn_idx,
+                     CASE WHEN k % 31 = 0 AND t.turn_idx = 0 THEN 'assistant'
+                          WHEN k % 13 = 0 AND t.turn_idx = 2 THEN 'assistant'
+                          WHEN t.turn_idx % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     CASE WHEN k % 4 = 0 AND t.turn_idx = 0 THEN 'hello how can i help you today'
+                          WHEN k % 4 = 2 AND t.turn_idx = 0 THEN 'Hello  How Can I Help You Today'
+                          WHEN k % 17 = 0 AND t.turn_idx = 3 THEN '  '
+                          WHEN k % 19 = 0 AND t.turn_idx = 3 THEN 'turn 2 of conv ' || k
+                          WHEN k % 5 = 0 AND t.turn_idx = 3 THEN 'i am not able to provide legal advice'
+                          ELSE 'turn ' || t.turn_idx || ' of conv ' || k END AS text,
+                     CASE WHEN k % 23 = 0 AND t.turn_idx = 2 THEN 'bad_tool'
+                          WHEN t.turn_idx = 1 THEN 'lookup' END AS tool
+              FROM convs CROSS JOIN (VALUES (0),(1),(2),(3)) t(turn_idx)
+              WHERE NOT (k % 29 = 0 AND t.turn_idx = 1)
+            ), lagd AS (
+              SELECT *,
+                     lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+                     lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+              FROM base
+            ), agg AS (
+              SELECT conv_id, count(*) AS n_turns,
+                     (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+                        AND count(DISTINCT turn_idx) = count(*)) AS idx_contiguous,
+                     (count(CASE WHEN role = prev_role THEN 1 END) = 0) AS roles_alternate,
+                     bool_or(CASE WHEN prev_role IS NULL THEN role = 'user' END)
+                       AS starts_with_user,
+                     count(CASE WHEN trim(text) = '' THEN 1 END) AS n_empty_turns,
+                     count(CASE WHEN text = prev_text THEN 1 END) AS n_stutter_turns,
+                     count(CASE WHEN tool IS NOT NULL AND role <> 'assistant' THEN 1 END)
+                       AS n_bad_tool_turns
+              FROM lagd GROUP BY conv_id
+            )
+            SELECT *, (idx_contiguous AND roles_alternate AND starts_with_user
+                       AND n_empty_turns = 0 AND n_stutter_turns = 0
+                       AND n_bad_tool_turns = 0) AS keep_conv
+            FROM agg
+        """,
+        # canned-response detection: distinct-conversation frequency of
+        # the normalised turn text over the same planted view
+        "q_canned_turns": r"""
+            WITH convs AS (
+              SELECT printf('conv-%08d', o_orderkey) AS conv_id, o_orderkey AS k
+              FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey <= 12000
+            ), base AS (
+              SELECT conv_id, k, t.turn_idx,
+                     CASE WHEN k % 4 = 0 AND t.turn_idx = 0 THEN 'hello how can i help you today'
+                          WHEN k % 4 = 2 AND t.turn_idx = 0 THEN 'Hello  How Can I Help You Today'
+                          WHEN k % 17 = 0 AND t.turn_idx = 3 THEN '  '
+                          WHEN k % 19 = 0 AND t.turn_idx = 3 THEN 'turn 2 of conv ' || k
+                          WHEN k % 5 = 0 AND t.turn_idx = 3 THEN 'i am not able to provide legal advice'
+                          ELSE 'turn ' || t.turn_idx || ' of conv ' || k END AS text
+              FROM convs CROSS JOIN (VALUES (0),(1),(2),(3)) t(turn_idx)
+              WHERE NOT (k % 29 = 0 AND t.turn_idx = 1)
+            )
+            SELECT norm_text, count(*) AS n_convs FROM (
+              SELECT DISTINCT conv_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+              FROM base
+            ) GROUP BY norm_text HAVING count(*) >= 10
         """,
         # chat-template rendering + whole-turn budget-40 truncation; the
         # running token sum is monotone so cum<=budget IS the prefix rule

@@ -1105,3 +1105,55 @@ def test_render_conversations(spark):
     assert budget["c1"]["n_turns"] == 3
     # first turn alone exceeds the budget -> empty render, row retained
     assert budget["c2"]["n_turns_kept"] == 0 and budget["c2"]["text"] == ""
+
+
+def test_conversation_qa_planted(spark):
+    from osm_wikidata_spark.operators import conversations
+
+    rows = [
+        # clean conversation
+        ("ok", 0, "user", "hi", None),
+        ("ok", 1, "assistant", "hello", "search"),
+        ("ok", 2, "user", "thanks", None),
+        # every failure mode at once
+        ("bad", 0, "assistant", "greetings", None),   # starts with assistant
+        ("bad", 1, "assistant", "greetings", None),   # same role + stutter
+        ("bad", 3, "user", "   ", "oops"),            # gap, blank, tool on user
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    out = {r["conv_id"]: r for r in conversations.conversation_qa(df).collect()}
+    ok = out["ok"]
+    assert ok["keep_conv"] is True and ok["n_turns"] == 3
+    assert ok["idx_contiguous"] and ok["roles_alternate"] and ok["starts_with_user"]
+    bad = out["bad"]
+    assert bad["keep_conv"] is False
+    assert bad["idx_contiguous"] is False          # 0,1,3
+    assert bad["roles_alternate"] is False         # assistant,assistant
+    assert bad["starts_with_user"] is False
+    assert bad["n_empty_turns"] == 1
+    assert bad["n_stutter_turns"] == 1
+    assert bad["n_bad_tool_turns"] == 1
+
+
+def test_canned_turns(spark):
+    from osm_wikidata_spark.operators import conversations
+
+    rows = []
+    for c in range(6):
+        rows.append((f"c{c}", 0, "user", "Hello   how can I help" if c % 2 else "hello how can i help", None))
+        rows.append((f"c{c}", 1, "assistant", f"unique reply {c}", None))
+    # intra-conversation stutter must not promote a turn
+    rows += [("c9", 0, "user", "looped line", None)] + [
+        ("c9", i, "user", "looped line", None) for i in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {
+        r["norm_text"]: r["n_convs"]
+        for r in conversations.canned_turns(df, min_convs=5).collect()
+    }
+    # two spellings fold to one canned greeting across 6 conversations
+    assert got == {"hello how can i help": 6}
