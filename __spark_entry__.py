@@ -1086,6 +1086,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return conversations.canned_turns(_qa_transcripts(spark, sf), min_convs=10)
 
+    def q_sessionize(spark, sf):
+        # inactivity-gap sessionization (gaps-and-islands): per-event
+        # session assignment over the events stream, 4-hour gap,
+        # event_id tie-break -> partitioning-invariant
+        from osm_wikidata_spark.streaming import windows as sw
+
+        return sw.sessionize(
+            _t(spark, sf, "events").select("event_id", "user_id", "ts"),
+            gap_seconds=14400,
+        )
+
+    def q_session_stats(spark, sf):
+        # Spark's NATIVE session_window aggregate, pinned against an
+        # independent gaps-and-islands oracle (merge-on-boundary-equal,
+        # end = last event + gap)
+        from osm_wikidata_spark.streaming import windows as sw
+
+        return sw.session_stats(
+            _t(spark, sf, "events").select("user_id", "ts"), gap="4 hours"
+        )
+
     def q_duplicate_spans(spark, sf):
         # substring-level dedup (Lee et al. 2021 shape): a deterministic
         # boilerplate tail is appended to 30% of docs; flagged windows are
@@ -1756,12 +1777,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_render_conversations": q_render_conversations,
         "q_conversation_qa": q_conversation_qa,
         "q_canned_turns": q_canned_turns,
+        "q_sessionize": q_sessionize,
+        "q_session_stats": q_session_stats,
         # --- marquee operators / bench headliners ---
         "q_er_pipeline": q_er_pipeline,
         "q_name_match": q_name_match,
         "q_check_for_match": q_check_for_match,
-        "q_address_match": q_address_match,
-        "q_identifier_match": q_identifier_match,
         "q_blocking_join": q_blocking_join,
         "q_resolve_one_to_one": q_resolve_one_to_one,
         "q_connected_components": q_connected_components,
@@ -1782,6 +1803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multi_match_veto": q_multi_match_veto,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_embed": q_dedup_embed,
+        "q_address_match": q_address_match,
+        "q_identifier_match": q_identifier_match,
         "q_addr_extract": q_addr_extract,
         "q_embed_topk": q_embed_topk,
         "q_quality_score": q_quality_score,
@@ -2379,6 +2402,48 @@ def oracle_sql() -> dict[str, str]:
                    (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace)
                      AS keep_doc
             FROM k
+        """,
+        # gaps-and-islands sessionization, microsecond-exact gap rule
+        # mirrored (epoch_us == unix_micros)
+        "q_sessionize": r"""
+            WITH l AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT event_id, user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM l
+            )
+            SELECT event_id, user_id, ts, session_idx,
+                   user_id || '-' || session_idx AS session_id
+            FROM s
+        """,
+        # independent gaps-and-islands derivation of the sessions Spark's
+        # native session_window produces: merge on diff<=gap (boundary-
+        # equal events share a session), end = last event + gap
+        "q_session_stats": r"""
+            WITH l AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM l
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 4 HOUR AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         # conversation structural QA over the planted-violation view;
         # lag window + group-by mirrors the single-shuffle Spark shape

@@ -109,3 +109,86 @@ def conversation_progress(transcripts_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Per-event session assignment by inactivity gap (gaps-and-islands).
+
+    Appends ``session_idx`` (1-based per key) and ``session_id``
+    (``"<key>-<idx>"``) to every input row.  An event starts a new
+    session when it arrives more than ``gap_seconds`` after its
+    predecessor — the same merge rule as Spark's ``session_window``
+    (events exactly ``gap`` apart still merge), so the two operators
+    agree on boundaries.
+
+    ``order_cols`` breaks timestamp ties deterministically, making the
+    assignment partitioning/cluster-size invariant.  Both windows use
+    the same (key, order) spec, so Catalyst plans ONE shuffle; the unit
+    of parallelism is the key — no salting needed because a session
+    never spans keys.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    prev = F.lag(ts_col).over(w)
+    # interval arithmetic, NOT cast("long"): second-truncation would
+    # disagree with session_window on sub-second gaps, and epoch
+    # conversion would entangle the session timezone (ts may be NTZ)
+    new_session = (
+        prev.isNull()
+        | (
+            (F.col(ts_col) - prev)
+            > F.make_dt_interval(secs=F.lit(gap_seconds))
+        )
+    ).cast("int")
+    run = Window.partitionBy(key_col).orderBy(ts_col, *order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.withColumn("_new_session", new_session)
+        .withColumn("session_idx", F.sum("_new_session").over(run))
+        .drop("_new_session")
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col(key_col).cast("string"), F.col("session_idx")),
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-session aggregate via Spark's native ``session_window``::
+
+        (key_col, session_start, session_end, n_events)
+
+    ``session_end`` is ``last event + gap`` (Spark's window-close rule).
+    Works on both a static frame and a stream — pass ``watermark`` on a
+    stream so session state is bounded (a session closes once the
+    watermark passes its end; late events beyond it are dropped).
+    The sf-oracle derives the same sessions independently via the
+    :func:`sessionize` gaps-and-islands rule, pinning the built-in
+    operator's merge semantics (boundary-equal events merge; verified
+    diff==gap ⇒ same session).
+    """
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        src.groupBy(key_col, F.session_window(ts_col, gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

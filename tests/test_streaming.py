@@ -454,3 +454,93 @@ def test_neardup_stream_end_to_end(spark, tmp_path):
         for r in dedup.minhash_lsh_pairs(docs, max_bucket=None).collect()
     }
     assert got == full and full
+
+
+def test_sessionize_boundaries(spark):
+    """Gap rule: diff == gap merges (session_window parity), diff > gap
+    splits; tie-broken ordering; 1-based per-key indices."""
+    import datetime as dt
+
+    from osm_wikidata_spark.streaming.windows import sessionize
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 10, base),
+        (2, 10, base + dt.timedelta(seconds=1800)),   # == gap -> merges
+        (3, 10, base + dt.timedelta(seconds=3601)),   # > gap after #2 -> new
+        (4, 20, base),                                 # other key
+    ]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp")
+    out = {
+        r["event_id"]: (r["session_idx"], r["session_id"])
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert out[1] == (1, "10-1") and out[2] == (1, "10-1")
+    assert out[3] == (2, "10-2")
+    assert out[4] == (1, "20-1")
+
+
+def test_session_stats_agrees_with_sessionize(spark):
+    """The native session_window aggregate and the gaps-and-islands
+    assignment must produce identical sessions on real-ish data."""
+    from osm_wikidata_spark.streaming.windows import session_stats, sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    via_native = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in session_stats(events, gap="4 hours").collect()
+    }
+    via_islands = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in (
+            sessionize(events, gap_seconds=14400)
+            .groupBy("user_id", "session_idx")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.count("*").alias("n_events"),
+            )
+            .collect()
+        )
+    }
+    assert via_native == via_islands and len(via_native) > 50
+
+
+def test_session_stats_stream_equals_batch(spark, tmp_path):
+    """session_window on a stream (availableNow + watermark) must emit
+    sessions equal to the batch computation."""
+    import os
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts"
+    )
+    src = os.path.join(str(tmp_path), "sess_src")
+    events.write.parquet(src)
+    from osm_wikidata_spark.streaming.windows import session_stats
+
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in session_stats(spark.read.parquet(src), gap="4 hours").collect()
+    }
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+    out_dir = os.path.join(str(tmp_path), "sess_out")
+    ckpt = os.path.join(str(tmp_path), "sess_ckpt")
+    q = (
+        session_stats(stream, gap="4 hours", watermark="8 hours")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # append mode emits only watermark-closed sessions; all emitted rows
+    # must match batch exactly
+    assert streamed, "no sessions emitted"
+    assert all(batch[k] == v for k, v in streamed.items())
