@@ -1086,6 +1086,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return conversations.canned_turns(_qa_transcripts(spark, sf), min_convs=10)
 
+    def q_assign_splits(spark, sf):
+        # deterministic train/val/test assignment: content-hash ranges,
+        # stable under corpus growth/repartition (randomSplit is not)
+        from osm_wikidata_spark.operators import sampling
+
+        return sampling.assign_splits(
+            _t(spark, sf, "documents").select("doc_id"),
+            ["doc_id"],
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+        )
+
     def q_sessionize(spark, sf):
         # inactivity-gap sessionization (gaps-and-islands): per-event
         # session assignment over the events stream, 4-hour gap,
@@ -1779,10 +1790,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_canned_turns": q_canned_turns,
         "q_sessionize": q_sessionize,
         "q_session_stats": q_session_stats,
+        "q_assign_splits": q_assign_splits,
         # --- marquee operators / bench headliners ---
         "q_er_pipeline": q_er_pipeline,
         "q_name_match": q_name_match,
-        "q_check_for_match": q_check_for_match,
         "q_blocking_join": q_blocking_join,
         "q_resolve_one_to_one": q_resolve_one_to_one,
         "q_connected_components": q_connected_components,
@@ -1803,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multi_match_veto": q_multi_match_veto,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_embed": q_dedup_embed,
+        "q_check_for_match": q_check_for_match,
         "q_address_match": q_address_match,
         "q_identifier_match": q_identifier_match,
         "q_addr_extract": q_addr_extract,
@@ -1844,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
     import json
 
+    from osm_wikidata_spark.operators.sampling import _hex_threshold as _ht
     from osm_wikidata_spark.operators.pii import (
         EMAIL_PATTERN,
         IPV4_PATTERN,
@@ -2402,6 +2415,17 @@ def oracle_sql() -> dict[str, str]:
                    (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace)
                      AS keep_doc
             FROM k
+        """,
+        # deterministic split assignment: same md5-prefix hash ranges as
+        # the Spark operator (thresholds computed by the SAME helper)
+        "q_assign_splits": f"""
+            SELECT doc_id,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '{_ht(0.9)}' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '{_ht(0.95)}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         # gaps-and-islands sessionization, microsecond-exact gap rule
         # mirrored (epoch_us == unix_micros)

@@ -182,3 +182,44 @@ def sample_pairs_stratified(
         F.element_at(mapping, stratum), F.lit(_hex_threshold(default_rate))
     )
     return edges.filter(hash_key(key_cols) < threshold)
+
+
+def assign_splits(
+    df: DataFrame, key_cols: Sequence[str], splits: dict[str, float]
+) -> DataFrame:
+    """Deterministic disjoint split assignment (train/val/test).
+
+    Appends a ``split`` column: each row lands in exactly one named
+    bucket with probability equal to its fraction, decided by the same
+    content-hash machinery as :func:`sample_rows` — so the assignment is
+    a pure function of the key columns.  Two properties follow that
+    seed-based ``randomSplit`` cannot give:
+
+    * **stability under growth** — a row keeps its split when the corpus
+      is re-ingested, re-partitioned, or extended, so eval rows can
+      never leak into train across pipeline reruns;
+    * **cross-table consistency** — splitting two tables by the same
+      join key puts joined rows in the same split.
+
+    ``splits`` must be positive fractions summing to 1 (±1e-9); order
+    determines the hash sub-ranges, so pass the same dict ordering to
+    reproduce an assignment.  One narrow projection — no shuffle, no
+    UDF.
+    """
+    if not splits or any(f <= 0 for f in splits.values()):
+        raise ValueError("splits must be a non-empty map of positive fractions")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    names = list(splits)
+    h = hash_key(key_cols)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = h < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # the last bucket absorbs the residual range including the rounding
+    # remainder at the top of the hash space
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

@@ -1157,3 +1157,29 @@ def test_canned_turns(spark):
     }
     # two spellings fold to one canned greeting across 6 conversations
     assert got == {"hello how can i help": 6}
+
+
+def test_assign_splits(spark):
+    from osm_wikidata_spark.operators import sampling
+    import pytest as _pytest
+
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    out = sampling.assign_splits(
+        df, ["doc_id"], {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    by = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(by) == {"train", "val", "test"}
+    assert 0.88 * 20000 < by["train"] < 0.92 * 20000
+    assert 0.035 * 20000 < by["val"] < 0.065 * 20000
+    assert 0.035 * 20000 < by["test"] < 0.065 * 20000
+    # stability under growth: the first 20k keep their split inside 50k
+    bigger = sampling.assign_splits(
+        spark.range(50000).select(F.col("id").alias("doc_id")),
+        ["doc_id"],
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).filter(F.col("doc_id") < 20000)
+    assert out.exceptAll(bigger).count() == 0
+    with _pytest.raises(ValueError):
+        sampling.assign_splits(df, ["doc_id"], {"train": 0.9, "val": 0.05})
+    with _pytest.raises(ValueError):
+        sampling.assign_splits(df, ["doc_id"], {"train": 1.5, "val": -0.5})
