@@ -155,3 +155,36 @@ def test_ivf_codebook_stays_out_of_the_plan(spark):
     assert len(analyzed) < 20_000, f"plan blew up: {len(analyzed)} chars"
     rows = assigned.collect()
     assert rows[0]["cell"] == 0  # argmax parity with the literal form
+
+
+def test_c4_filters_is_shuffle_free(spark):
+    """C4 line/doc filters are a pure per-row map: zero exchanges, so the
+    operator composes anywhere in a pipeline without a repartition."""
+    import __spark_entry__ as entry
+
+    plan = _formatted_plan(entry.queries()["q_c4_filters"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_conversation_qa_single_shuffle(spark):
+    """The lag window and the per-conversation aggregate must share ONE
+    hash exchange on conv_id (exchange reuse), not shuffle twice."""
+    import __spark_entry__ as entry
+
+    import re
+
+    plan = _formatted_plan(entry.queries()["q_conversation_qa"](spark, SF))
+    shuffles = re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M)
+    assert len(shuffles) == 1, plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both sessionize windows (lag + running sum) use the same
+    (key, order) spec -> one exchange plus one in-partition sort chain."""
+    import __spark_entry__ as entry
+
+    import re
+
+    plan = _formatted_plan(entry.queries()["q_sessionize"](spark, SF))
+    shuffles = re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M)
+    assert len(shuffles) == 1, plan
