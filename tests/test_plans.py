@@ -188,3 +188,58 @@ def test_sessionize_single_shuffle(spark):
     plan = _formatted_plan(entry.queries()["q_sessionize"](spark, SF))
     shuffles = re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M)
     assert len(shuffles) == 1, plan
+
+
+def test_curation_pipeline_semantics(spark):
+    """End-to-end curation chain on a hand-built corpus: boilerplate is
+    stripped corpus-wide, low-quality docs are gated, docs identical up
+    to boilerplate collapse to one canonical (stage-order property), PII
+    is redacted, and every survivor gets exactly one split."""
+    from osm_wikidata_spark.plans.curation import curate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it was plain "
+        "that the weather in the town was fine for a walk to the station"
+    )
+    rows = [
+        # 10 filler docs carrying the boilerplate header (promotes it)
+        *[
+            (i, "visit our site today\n" + good + f" number {i}")
+            for i in range(10)
+        ],
+        # duplicate pair: same body, different boilerplate carriage
+        (100, "visit our site today\n" + good + " contact a@b.co"),
+        (101, good + " contact a@b.co"),
+        # below the token floor
+        (102, "too short"),
+    ]
+    out = curate(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_docs_boiler=10,
+        min_tokens=20,
+        min_quality=0.5,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # 102 gated out; 101 collapsed into 100 (canonical = min doc_id)
+    assert 102 not in got and 101 not in got and 100 in got
+    assert len(got) == 11
+    # boilerplate line stripped from every carrier, lineage recorded
+    assert got[100]["n_lines_removed"] == 1 and got[0]["n_lines_removed"] == 1
+    assert "visit our site" not in got[100]["text"]
+    # the email in the surviving canonical is redacted
+    assert "<EMAIL>" in got[100]["text"] and "a@b.co" not in got[100]["text"]
+    # split is one of the configured names for every row
+    assert {r["split"] for r in got.values()} <= {"train", "val", "test"}
+
+
+def test_curation_pipeline_shuffle_budget(spark):
+    """The chain's only wide stages are the two the docstring claims:
+    line-frequency aggregation (+ its join back) and the fingerprint
+    window.  Gate/redact/split must add zero exchanges."""
+    import re
+
+    import __spark_entry__ as entry
+
+    plan = _formatted_plan(entry.queries()["q_curation_pipeline"](spark, SF))
+    shuffles = re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M)
+    assert len(shuffles) <= 4, plan
