@@ -1097,6 +1097,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"train": 0.9, "val": 0.05, "test": 0.05},
         )
 
+    def q_lm_perplexity(spark, sf):
+        # CCNet-style LM quality signal (Wenzek et al. 2020 §4.3, unigram
+        # core): model trained on the even-doc_id "trusted" half, EVERY
+        # doc scored against it — odd docs exercise the smoothed-OOV path
+        from osm_wikidata_spark.operators import lm_quality
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        model = lm_quality.unigram_model(docs.filter(F.col("doc_id") % 2 == 0))
+        return lm_quality.doc_perplexity(docs, model)
+
+    def q_vocab_topk(spark, sf):
+        # tokenizer-prep vocabulary induction: top-100 corpus tokens by
+        # count with doc frequency, lexicographic tie-break
+        from osm_wikidata_spark.operators import lm_quality
+
+        return lm_quality.vocab_top_k(_t(spark, sf, "documents"), 100)
+
+    def q_assign_shards(spark, sf):
+        # deterministic global shuffle for training output: content-hash
+        # scatter over 7 shards + stable in-shard position
+        from osm_wikidata_spark.operators import sampling
+
+        return sampling.assign_shards(
+            _t(spark, sf, "documents").select("doc_id"), ["doc_id"], 7
+        )
+
     def q_curation_pipeline(spark, sf):
         # end-to-end curation chain (plans/curation.py): boilerplate line
         # removal -> quality gate -> exact-dup collapse -> PII redaction ->
@@ -1859,12 +1885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_stats": q_session_stats,
         "q_assign_splits": q_assign_splits,
         "q_curation_pipeline": q_curation_pipeline,
+        "q_lm_perplexity": q_lm_perplexity,
+        "q_vocab_topk": q_vocab_topk,
+        "q_assign_shards": q_assign_shards,
         # --- marquee operators / bench headliners ---
         "q_er_pipeline": q_er_pipeline,
         "q_name_match": q_name_match,
-        "q_blocking_join": q_blocking_join,
-        "q_resolve_one_to_one": q_resolve_one_to_one,
-        "q_connected_components": q_connected_components,
         "q_transcripts_invariant": q_transcripts_invariant,
         "q_dedup_canonical": q_dedup_canonical,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1876,6 +1902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         # --- derivative shapes, driver-green in r01-r03 archives,
         #     or rows-only (q_multimodal_features) ---
+        "q_blocking_join": q_blocking_join,
+        "q_resolve_one_to_one": q_resolve_one_to_one,
+        "q_connected_components": q_connected_components,
         "q_audit_metrics": q_audit_metrics,
         "q_matching_tags": q_matching_tags,
         "q_pair_vetoes": q_pair_vetoes,
@@ -2597,6 +2626,72 @@ def oracle_sql() -> dict[str, str]:
                              < '{_ht(0.95)}' THEN 'val'
                         ELSE 'test' END AS split
             FROM red
+        """,
+        # unigram LM perplexity: Laplace-smoothed model over the even-id
+        # half, every doc scored (left joins keep OOV tokens and token-
+        # free docs); round-6 log/exp per the repo float-parity rule
+        "q_lm_perplexity": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                       t -> t <> '')) AS token
+              FROM documents
+            ), model0 AS (
+              SELECT token, count(*) AS n FROM tok WHERE doc_id % 2 = 0 GROUP BY token
+            ), norm AS (
+              SELECT sum(n) AS t, count(*) AS v FROM model0
+            ), model AS (
+              SELECT token, round(ln((n + 1) / (t + v + 1)), 6) AS logprob
+              FROM model0, norm
+            ), oov AS (
+              SELECT round(-ln(t + v + 1), 6) AS oov_lp FROM norm
+            ), scored AS (
+              -- integer micro-nats: order-independent exact sum, then
+              -- two correctly-rounded divisions (see lm_quality.py)
+              SELECT tok.doc_id, count(*) AS n_tokens,
+                     sum(CAST(round(coalesce(m.logprob, o.oov_lp) * 1000000, 0)
+                              AS BIGINT)) AS sm
+              FROM tok LEFT JOIN model m USING (token), oov o
+              GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   round(s.sm / s.n_tokens / 1000000.0, 6) AS avg_logprob,
+                   round(exp(-round(s.sm / s.n_tokens / 1000000.0, 6)), 6)
+                     AS perplexity
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "q_vocab_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                       t -> t <> '')) AS token
+              FROM documents
+            ), c AS (
+              SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+              FROM tok GROUP BY token
+            ), r AS (
+              SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c
+            )
+            SELECT rank, token, n, doc_freq FROM r WHERE rank <= 100
+        """,
+        # content-hash shard + stable in-shard position (hash then key
+        # tie-break), same md5-prefix machinery as q_assign_splits
+        "q_assign_shards": """
+            WITH h AS (
+              SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+              FROM documents
+            ), s AS (
+              SELECT doc_id, hk,
+                     CAST(CAST(('0x' || hk) AS BIGINT) % 7 AS INT) AS shard
+              FROM h
+            )
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) - 1
+                     AS shard_pos
+            FROM s
         """,
         # gaps-and-islands sessionization, microsecond-exact gap rule
         # mirrored (epoch_us == unix_micros)

@@ -223,3 +223,40 @@ def assign_splits(
     # remainder at the top of the hash space
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+def assign_shards(
+    df: DataFrame, key_cols: Sequence[str], n_shards: int
+) -> DataFrame:
+    """Deterministic global shuffle for training-data output: append
+    ``(shard, shard_pos)`` — which of ``n_shards`` output shards each row
+    lands in, and its position within that shard.
+
+    Training loaders want the corpus in pseudo-random order, but a
+    seedless ``orderBy(rand())`` is irreproducible and a global sort of
+    100 TB is a range-partitioned monster.  Content-hash sharding gives
+    the same permutation every run (resume-safe, diffable across
+    pipeline versions) with exactly ONE hash shuffle on the shard key
+    plus a per-shard sort: rows scatter to shards by the first 8 hex
+    chars of their key hash, and sort within the shard by (hash, key) —
+    the key tie-break keeps the order total even when two rows collide
+    in the 32-bit hash prefix, which WILL happen beyond ~10^5 rows.
+
+    Shards are hash-uniform, so per-shard volume is corpus/n_shards with
+    binomial fluctuation — size ``n_shards`` so one shard's sort fits an
+    executor (100 TB / 100k shards = 1 GB).  ``shard_pos`` is 0-based.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql.window import Window
+
+    h = hash_key(key_cols)
+    with_shard = df.withColumn(
+        "shard", (F.conv(h, 16, 10).cast("bigint") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        hash_key(key_cols), *[F.col(c) for c in key_cols]
+    )
+    return with_shard.withColumn(
+        "shard_pos", F.row_number().over(w) - F.lit(1)
+    )

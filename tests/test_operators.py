@@ -1183,3 +1183,96 @@ def test_assign_splits(spark):
         sampling.assign_splits(df, ["doc_id"], {"train": 0.9, "val": 0.05})
     with _pytest.raises(ValueError):
         sampling.assign_splits(df, ["doc_id"], {"train": 1.5, "val": -0.5})
+
+
+# ----------------------------------------------------- LM quality scoring
+
+
+def test_unigram_model_distribution(spark):
+    """Counts and smoothed logprobs on a hand-countable corpus: model
+    probabilities plus the OOV class form a proper distribution."""
+    import math
+
+    from osm_wikidata_spark.operators import lm_quality
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    # T=5 tokens, V=3 vocab -> denominator 9
+    model = {r["token"]: r for r in lm_quality.unigram_model(df).collect()}
+    assert {t: r["n"] for t, r in model.items()} == {"a": 3, "b": 1, "c": 1}
+    assert model["a"]["logprob"] == round(math.log(4 / 9), 6)
+    assert model["b"]["logprob"] == round(math.log(2 / 9), 6)
+    # probability mass: 4/9 + 2/9 + 2/9 + OOV 1/9 = 1
+    oov = lm_quality.oov_logprob(lm_quality.unigram_model(df)).collect()[0]
+    assert oov["oov_logprob"] == round(math.log(1 / 9), 6)
+
+
+def test_doc_perplexity_oov_and_empty(spark):
+    """Scoring against a model from a DIFFERENT corpus: all-OOV docs get
+    exactly the OOV perplexity, token-free docs keep a null-score row."""
+    import math
+
+    from osm_wikidata_spark.operators import lm_quality
+
+    trusted = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    model = lm_quality.unigram_model(trusted)
+    target = spark.createDataFrame(
+        [(10, "zz yy"), (11, "a a"), (12, "   ")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_quality.doc_perplexity(target, model).collect()}
+    oov_lp = round(math.log(1 / 9), 6)
+    assert out[10]["n_tokens"] == 2
+    assert out[10]["avg_logprob"] == oov_lp
+    assert out[10]["perplexity"] == round(math.exp(-oov_lp), 6)
+    # in-vocab doc is less perplexing than the all-OOV doc
+    assert out[11]["perplexity"] < out[10]["perplexity"]
+    assert out[12]["n_tokens"] == 0
+    assert out[12]["avg_logprob"] is None and out[12]["perplexity"] is None
+
+
+def test_vocab_top_k_tiebreak(spark):
+    from osm_wikidata_spark.operators import lm_quality
+
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    rows = lm_quality.vocab_top_k(df, 2).orderBy("rank").collect()
+    # a and b tie at n=2; lexicographic tie-break puts a first
+    assert [(r["rank"], r["token"], r["n"], r["doc_freq"]) for r in rows] == [
+        (1, "a", 2, 2),
+        (2, "b", 2, 2),
+    ]
+
+
+# --------------------------------------------------------- output sharding
+
+
+def test_assign_shards_permutation(spark):
+    """Every row gets exactly one (shard, pos); positions are contiguous
+    from 0 per shard; the assignment is a pure function of the key —
+    identical under a different input partitioning."""
+    import pytest as _pytest
+
+    from osm_wikidata_spark.operators import sampling
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = sampling.assign_shards(df, ["doc_id"], 7)
+    assert out.count() == 5000
+    per = out.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.min("shard_pos").alias("lo"),
+        F.max("shard_pos").alias("hi"),
+        F.count_distinct("shard_pos").alias("d"),
+    ).collect()
+    assert {r["shard"] for r in per} == set(range(7))
+    for r in per:
+        assert (r["lo"], r["hi"], r["d"]) == (0, r["n"] - 1, r["n"])
+        # hash-uniform: no shard more than 40% off the mean
+        assert abs(r["n"] - 5000 / 7) < 0.4 * 5000 / 7
+    again = sampling.assign_shards(df.repartition(13), ["doc_id"], 7)
+    assert out.exceptAll(again).count() == 0
+    with _pytest.raises(ValueError):
+        sampling.assign_shards(df, ["doc_id"], 0)

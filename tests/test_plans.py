@@ -243,3 +243,16 @@ def test_curation_pipeline_shuffle_budget(spark):
     plan = _formatted_plan(entry.queries()["q_curation_pipeline"](spark, SF))
     shuffles = re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M)
     assert len(shuffles) <= 4, plan
+
+
+def test_assign_shards_single_shuffle(spark):
+    """Output sharding is exactly ONE exchange (hash-scatter on the shard
+    id) plus the per-shard sort — the cheapest global permutation Spark
+    can express."""
+    import re
+
+    import __spark_entry__ as entry
+
+    plan = _formatted_plan(entry.queries()["q_assign_shards"](spark, SF))
+    shuffles = re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M)
+    assert len(shuffles) == 1, plan
