@@ -2,12 +2,13 @@
 word n-gram with an evaluation corpus (the GPT-3 appendix-C recipe, Brown
 et al. 2020; n=8..13 word-grams are the common range).
 
-Spark shape: explode each side to distinct n-gram shingles (the same
-``word_shingles`` kernel the Jaccard dedup path uses), inner-join on the
-shingle string, collapse to one row per contaminated training doc.  The
-join key is the raw shingle text — exact semantics, portable to the SQL
-oracle; at 100 TB swap the key for ``xxhash64(shingle)`` to shrink the
-shuffle (same plan shape, hash-collision risk ~2^-64 per pair).
+Spark shape: explode each side to distinct n-gram shingle IDENTITIES
+(``word_shingle_hashes`` — xxhash64 of per-word-hash slices; the shingle
+string is never built), inner-join on the 8-byte hash, collapse to one
+row per contaminated training doc.  Counts are exact up to xxhash64
+collisions (~2^-64 per candidate pair — the same documented trade as the
+repetition-stats gram keys); the SQL oracle joins true shingle strings
+and stays hash-identical at any collision-free scale.
 
 The eval side is exploded once and is usually tiny relative to the
 training corpus (benchmarks are a few MB); the shuffle is dominated by
@@ -19,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import word_shingles
+from .dedup import word_shingle_hashes
 
 
 def contaminated_docs(
@@ -40,12 +41,12 @@ def contaminated_docs(
     """
     t = train.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    ).dropDuplicates(["doc_id", "shingle"])
+        F.explode(word_shingle_hashes(text_col, shingle_n)).alias("shingle"),
+    )
     ev = eval_docs.select(
         F.col(eval_id_col).alias("eval_id"),
-        F.explode(word_shingles(eval_text_col, shingle_n)).alias("shingle"),
-    ).dropDuplicates(["eval_id", "shingle"])
+        F.explode(word_shingle_hashes(eval_text_col, shingle_n)).alias("shingle"),
+    )
     return (
         t.join(ev, "shingle")
         .groupBy("doc_id")

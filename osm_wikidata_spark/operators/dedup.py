@@ -173,6 +173,28 @@ def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
     )
 
 
+def word_shingle_hashes(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct xxhash64 identities of the word n-gram shingles —
+    :func:`word_shingles` without ever building the shingle strings.
+
+    Each word is hashed once; a shingle is the xxhash64 of the slice of
+    per-word hashes, so generation costs n long-hashes instead of an
+    n-word string concatenation, and downstream keys are 8-byte longs
+    instead of 50+-byte strings.  Identity is exact up to xxhash64
+    collisions (~W^2/2^65 per document); use where the consumer needs
+    shingle IDENTITY (joins, distincts, counts), not shingle text.
+    """
+    wh = F.transform(
+        F.split(normalize_text(text_col), " "), lambda x: F.xxhash64(x)
+    )
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(wh) - (n - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.slice(wh, i, n)),
+        )
+    )
+
+
 def minhash_band_keys(
     docs: DataFrame,
     id_col: str = "doc_id",
