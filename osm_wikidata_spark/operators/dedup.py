@@ -317,7 +317,7 @@ def ngram_jaccard_pairs(
     All Pairs Similarity Search", WWW'07; Chaudhuri et al. SSJoin) removes
     that blow-up *without* approximation: order every document's shingles by
     ascending global document frequency (rarest first, ties on the shingle
-    string) and join only each document's **prefix** — its first
+    id) and join only each document's **prefix** — its first
     ``|S| − ⌈t·|S|⌉ + 1`` shingles.  Any pair with Jaccard ≥ t must share an
     element of both prefixes (Jaccard ≥ t ⇒ |A∩B| ≥ t·|A|, so the prefix of
     A cannot be disjoint from A∩B; same for B).  A boilerplate shingle,
@@ -327,9 +327,20 @@ def ngram_jaccard_pairs(
     Candidates are then verified exactly with ``array_intersect`` on the
     full shingle arrays, so the result is identical to the all-pairs join at
     every scale (the oracle stays exact).
+
+    Shingles ride as :func:`word_shingle_hashes` longs end to end — the
+    inverted index, the frequency window, the prefix self-join and the
+    verification intersect all need shingle IDENTITY only, and the prefix
+    filter is sound under ANY consistent global order, so (df, hash) works
+    as well as (df, string) while every shuffle key and array element
+    shrinks to 8 bytes.  The Jaccard values are identical to the string
+    computation up to xxhash64 collisions (~2^-64 per in-document pair);
+    the SQL oracle intersects true shingle strings and stays
+    hash-identical at any collision-free scale.
     """
     with_sets = docs.select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("sh")
+        F.col(id_col).alias("doc"),
+        word_shingle_hashes(text_col, shingle_n).alias("sh"),
     ).withColumn("set_size", F.size("sh"))
     # the shingle-set subtree feeds THREE consumers (inverted index + both
     # sides of the verification join); without a persist each one re-runs
