@@ -1097,6 +1097,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"train": 0.9, "val": 0.05, "test": 0.05},
         )
 
+    def q_stratified_take(spark, sf):
+        # count-exact per-source eval sampling: exactly 30 docs per
+        # source, chosen by content-hash order (seedless, rerun-stable)
+        from osm_wikidata_spark.operators import sampling
+
+        return sampling.stratified_take(
+            _t(spark, sf, "documents").select("doc_id", "source"),
+            ["source"],
+            ["doc_id"],
+            30,
+        )
+
     def q_lm_perplexity(spark, sf):
         # CCNet-style LM quality signal (Wenzek et al. 2020 §4.3, unigram
         # core): model trained on the even-doc_id "trusted" half, EVERY
@@ -1902,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         # --- derivative shapes, driver-green in r01-r03 archives,
         #     or rows-only (q_multimodal_features) ---
+        "q_stratified_take": q_stratified_take,
         "q_blocking_join": q_blocking_join,
         "q_resolve_one_to_one": q_resolve_one_to_one,
         "q_connected_components": q_connected_components,
@@ -2661,6 +2674,17 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-round(s.sm / s.n_tokens / 1000000.0, 6)), 6)
                      AS perplexity
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "q_stratified_take": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                                doc_id) AS rn
+              FROM documents
+            )
+            SELECT doc_id, source FROM r WHERE rn <= 30
         """,
         "q_vocab_topk": r"""
             WITH tok AS (

@@ -260,3 +260,40 @@ def assign_shards(
     return with_shard.withColumn(
         "shard_pos", F.row_number().over(w) - F.lit(1)
     )
+
+
+def stratified_take(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    key_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by
+    content-hash order — count-exact eval-set construction.
+
+    :func:`sample_pairs_stratified` keeps rows at a per-stratum RATE;
+    this keeps a per-stratum COUNT, which is what benchmark curation
+    actually wants ("500 examples per source").  The selection order is
+    the key hash (with the raw key as the collision tie-break), so the
+    chosen subset is a pure function of row content: stable across runs,
+    partitionings and corpus growth *within* each stratum's survivors,
+    and uniformly "random" in any human sense without a seed.
+
+    One window over the strata key (single shuffle).  Skew note: the
+    window sorts each stratum, so a degenerate stratum holding most of
+    the corpus costs one big sort task; for heavy-tailed strata at
+    100 TB prefer a two-step rate-then-take (sample_pairs_stratified at
+    ~10k/|stratum| first, then this) so the sort input is bounded.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_key(key_cols), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )

@@ -1276,3 +1276,26 @@ def test_assign_shards_permutation(spark):
     assert out.exceptAll(again).count() == 0
     with _pytest.raises(ValueError):
         sampling.assign_shards(df, ["doc_id"], 0)
+
+
+def test_stratified_take_exact_counts(spark):
+    """Exactly min(k, stratum size) per stratum; the chosen subset is a
+    pure function of content — stable under repartition and under corpus
+    growth within each stratum's survivors."""
+    import pytest as _pytest
+
+    from osm_wikidata_spark.operators import sampling
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    # stratum s2 made tiny: only 4 rows
+    df = df.filter((F.col("source") != "s2") | (F.col("doc_id") < 12))
+    out = sampling.stratified_take(df, ["source"], ["doc_id"], 50)
+    by = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert by == {"s0": 50, "s1": 50, "s2": 4}
+    again = sampling.stratified_take(df.repartition(17), ["source"], ["doc_id"], 50)
+    assert out.exceptAll(again).count() == 0
+    with _pytest.raises(ValueError):
+        sampling.stratified_take(df, ["source"], ["doc_id"], 0)
