@@ -769,6 +769,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         centroids = [[1.0 if j == c else 0.0 for j in range(64)] for c in range(4)]
         return similarity.ivf_top_k(emb, queries_df, centroids, k=5, nprobe=2)
 
+    def q_semdedup(spark, sf):
+        # SemDeDup (Abbas et al. 2023): k-means cells bound the pairwise
+        # cosine to within-cell work; one-hot codebook so the cell rule is
+        # SQL-expressible, then within-cell pairs >= 0.4 close transitively
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        centroids = [[1.0 if j == c else 0.0 for j in range(64)] for c in range(4)]
+        return similarity.semdedup(emb, centroids, threshold=0.4).select(
+            "doc_id", "canonical_id", F.col("cluster_size").cast("bigint").alias("cluster_size")
+        )
+
+    def q_dsir_weights(spark, sf):
+        # DSIR (Xie et al. 2023) log importance ratio toward a 2-source
+        # "target domain", hashed-unigram+bigram features (4096 md5-prefix
+        # buckets, engine-portable)
+        from osm_wikidata_spark.operators import importance
+
+        docs = _t(spark, sf, "documents")
+        return importance.importance_weights(
+            docs, docs.filter(F.col("source").isin("src0", "src1"))
+        )
+
+    def q_dsir_select(spark, sf):
+        # DSIR selection: Gumbel-top-k over the log weights = sampling
+        # without replacement proportional to softmax(weight), the paper's
+        # sampler, with deterministic content-hash Gumbel noise
+        from osm_wikidata_spark.operators import importance
+
+        docs = _t(spark, sf, "documents")
+        return importance.dsir_select(
+            docs, docs.filter(F.col("source").isin("src0", "src1")), k=100
+        )
+
     def q_token_count(spark, sf):
         return _t(spark, sf, "documents").select(
             "doc_id", textstats.token_count().alias("n_tokens")
@@ -1900,21 +1934,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_perplexity": q_lm_perplexity,
         "q_vocab_topk": q_vocab_topk,
         "q_assign_shards": q_assign_shards,
+        "q_stratified_take": q_stratified_take,
+        "q_semdedup": q_semdedup,
+        "q_dsir_weights": q_dsir_weights,
+        "q_dsir_select": q_dsir_select,
         # --- marquee operators / bench headliners ---
+        "q_dedup_canonical": q_dedup_canonical,
+        "q_ivf_topk": q_ivf_topk,
         "q_er_pipeline": q_er_pipeline,
         "q_name_match": q_name_match,
-        "q_transcripts_invariant": q_transcripts_invariant,
-        "q_dedup_canonical": q_dedup_canonical,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
+        # --- derivative shapes, driver-green in r01-r03 archives,
+        #     or rows-only (q_multimodal_features) ---
+        "q_transcripts_invariant": q_transcripts_invariant,
         "q_embed_lsh_topk": q_embed_lsh_topk,
         "q_dedup_embed_lsh": q_dedup_embed_lsh,
         "q_ivf_assign": q_ivf_assign,
-        "q_ivf_topk": q_ivf_topk,
-        # --- derivative shapes, driver-green in r01-r03 archives,
-        #     or rows-only (q_multimodal_features) ---
-        "q_stratified_take": q_stratified_take,
         "q_blocking_join": q_blocking_join,
         "q_resolve_one_to_one": q_resolve_one_to_one,
         "q_connected_components": q_connected_components,
@@ -3018,6 +3055,112 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, cos FROM ranked WHERE r <= 5
+        """,
+        "q_semdedup": """
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            comp AS (SELECT vec_id, v, [v[1], v[2], v[3], v[4]] AS c4 FROM e),
+            assigned AS (
+              SELECT vec_id, v, list_position(c4, list_max(c4)) - 1 AS cell
+              FROM comp
+            ),
+            edges AS (
+              SELECT a.vec_id AS u, b.vec_id AS w
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+            ),
+            bidir AS (SELECT u, w FROM edges UNION SELECT w, u FROM edges),
+            nodes AS (SELECT DISTINCT u AS node FROM bidir),
+            reach AS (
+              SELECT node, node AS cur FROM nodes
+              UNION
+              SELECT r.node, b.w FROM reach r JOIN bidir b ON b.u = r.cur
+            ),
+            cc AS (SELECT node AS doc_id, min(cur) AS canonical_id FROM reach GROUP BY node)
+            SELECT doc_id, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+            FROM cc
+        """,
+        "q_dsir_weights": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id, source,
+                     substring(md5(unnest(list_concat(w,
+                       CASE WHEN len(w) >= 2
+                            THEN [array_to_string(w[i:i+1], ' ')
+                                  FOR i IN generate_series(1, len(w) - 1)]
+                            ELSE [] END))), 1, 3) AS bucket
+              FROM d
+            ),
+            rawc AS (SELECT bucket, count(*) AS c FROM g GROUP BY 1),
+            tgtc AS (
+              SELECT bucket, count(*) AS ct FROM g
+              WHERE source IN ('src0', 'src1') GROUP BY 1
+            ),
+            tot AS (
+              SELECT (SELECT sum(c) FROM rawc) AS nr,
+                     (SELECT coalesce(sum(ct), 0) FROM tgtc) AS nt
+            ),
+            lr AS (
+              SELECT r.bucket,
+                     ln(coalesce(t.ct, 0) + 1.0) - ln(r.c + 1.0)
+                     + ln((nr + 4096.0) / (nt + 4096.0)) AS lr
+              FROM rawc r LEFT JOIN tgtc t USING (bucket), tot
+            )
+            SELECT g.doc_id, round(sum(lr.lr), 6) AS weight
+            FROM g JOIN lr USING (bucket)
+            GROUP BY g.doc_id
+        """,
+        "q_dsir_select": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id, source,
+                     substring(md5(unnest(list_concat(w,
+                       CASE WHEN len(w) >= 2
+                            THEN [array_to_string(w[i:i+1], ' ')
+                                  FOR i IN generate_series(1, len(w) - 1)]
+                            ELSE [] END))), 1, 3) AS bucket
+              FROM d
+            ),
+            rawc AS (SELECT bucket, count(*) AS c FROM g GROUP BY 1),
+            tgtc AS (
+              SELECT bucket, count(*) AS ct FROM g
+              WHERE source IN ('src0', 'src1') GROUP BY 1
+            ),
+            tot AS (
+              SELECT (SELECT sum(c) FROM rawc) AS nr,
+                     (SELECT coalesce(sum(ct), 0) FROM tgtc) AS nt
+            ),
+            lr AS (
+              SELECT r.bucket,
+                     ln(coalesce(t.ct, 0) + 1.0) - ln(r.c + 1.0)
+                     + ln((nr + 4096.0) / (nt + 4096.0)) AS lr
+              FROM rawc r LEFT JOIN tgtc t USING (bucket), tot
+            ),
+            wt AS (
+              SELECT g.doc_id, round(sum(lr.lr), 6) AS weight
+              FROM g JOIN lr USING (bucket)
+              GROUP BY g.doc_id
+            ),
+            keyed AS (
+              SELECT doc_id, weight,
+                     round(weight + (-ln(-ln(
+                       (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                        + 0.5) / 4294967296.0))), 6) AS key
+              FROM wt
+            )
+            SELECT doc_id, weight, key FROM keyed
+            ORDER BY key DESC, doc_id LIMIT 100
         """,
         "q_dedup_embed": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -476,3 +476,70 @@ def kmeans_fit(
         cb[occupied] = sums[occupied] / counts[occupied, None]
 
     return cb.tolist()
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = None,
+    dropped_sink: Callable[[DataFrame], None] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine.
+
+    The paper's observation: semantic duplicates land in the same k-means
+    cluster, so the O(N²) all-pairs cosine collapses to Σ|cell|² — with a
+    balanced codebook (train via :func:`kmeans_fit` on a sample) that is
+    N²/k, i.e. choose k ∝ N for linear total work.  Within each cell,
+    pairs at cosine ≥ ``threshold`` are semantic duplicates; transitive
+    closure then yields "keep one representative per group" exactly like
+    the repo's other dedup families.
+
+    Returns the scale-shaped per-document mapping
+    ``(doc_id, canonical_id, cluster_size)`` (members of groups ≥ 2 only;
+    ``filter(doc_id != canonical_id)`` is the drop list).
+
+    Scale shape: the cell self-join carries COMPACT IDS ONLY (vectors are
+    rehydrated by id join after pair generation, the
+    :func:`cosine_near_dup_pairs_lsh` pattern); a degenerate cell — one
+    giant boilerplate cluster — is bounded by ``max_cell`` with the
+    dropped cells surfaced through ``dropped_sink``, never silently.
+    Each vector lives in exactly one cell, so candidate pairs are unique
+    by construction (no dedup shuffle needed, unlike multi-table LSH).
+    """
+    from .dedup import cap_buckets
+
+    cells = (
+        ivf_assign(vectors, centroids, id_col, vec_col)
+        # null cell = null/dim-mismatched vector: no semantic identity,
+        # must not cluster with other malformed rows
+        .filter(F.col("cell").isNotNull())
+        .select(F.col(id_col).alias("doc"), "cell")
+    )
+    kept, dropped = cap_buckets(cells, ["cell"], max_cell)
+    if dropped_sink is not None:
+        dropped_sink(dropped)
+    candidates = (
+        kept.select(F.col("doc").alias("left_id"), "cell")
+        .join(kept.select(F.col("doc").alias("right_id"), "cell"), "cell")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+    )
+    lv = vectors.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"))
+    rv = vectors.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"))
+    pairs = (
+        candidates.join(lv, "left_id")
+        .join(rv, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(cosine(F.col("lv"), F.col("rv")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    from .dedup import near_dup_clusters
+
+    return near_dup_clusters(pairs)

@@ -1299,3 +1299,94 @@ def test_stratified_take_exact_counts(spark):
     assert out.exceptAll(again).count() == 0
     with _pytest.raises(ValueError):
         sampling.stratified_take(df, ["source"], ["doc_id"], 0)
+
+
+def test_semdedup_planted_clusters(spark):
+    """Within-cell semantic dups close transitively; cross-cell near-dups
+    are invisible by design (the SemDeDup trade); null vectors never pair."""
+    import pytest as _pytest
+
+    from osm_wikidata_spark.operators import similarity
+
+    # 2 one-hot cells over dim 4; vecs 1,2,3 land in cell 0 (chain of
+    # near-dups), vec 4 in cell 1 alone, vec 5 malformed
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),   # cos(1,2) high
+        (3, [0.97, 0.2, 0.0, 0.0]),   # cos(2,3) high — chain joins 1-2-3
+        (4, [0.0, 1.0, 0.0, 0.0]),    # alone in cell 1
+        (5, None),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = similarity.semdedup(vecs, cents, threshold=0.95)
+    got = {(r["doc_id"], r["canonical_id"], r["cluster_size"]) for r in out.collect()}
+    assert got == {(1, 1, 3), (2, 1, 3), (3, 1, 3)}
+
+    # cell cap: cap cell 0 (3 members) at 2 -> dropped, observable
+    seen = {}
+    out2 = similarity.semdedup(
+        vecs, cents, threshold=0.95, max_cell=2,
+        dropped_sink=lambda d: seen.setdefault("d", d),
+    )
+    assert out2.count() == 0
+    dropped = {(r["cell"], r["n"]) for r in seen["d"].collect()}
+    assert dropped == {(0, 3)}
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """A doc sharing the target's vocabulary outscores one that shares
+    nothing; weights are partitioning-invariant."""
+    from osm_wikidata_spark.operators import importance
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "tgt"),
+            (2, "the quick brown dog runs", "tgt"),
+            (3, "quick brown fox jumps high", "raw"),  # target-like
+            (4, "zyx wvu tsr qpo nml", "raw"),          # alien vocabulary
+            (5, None, "raw"),                            # no grams -> no row
+        ],
+        "doc_id long, text string, source string",
+    )
+    target = docs.filter("source = 'tgt'")
+    w = {r["doc_id"]: r["weight"] for r in
+         importance.importance_weights(docs, target).collect()}
+    assert set(w) == {1, 2, 3, 4}
+    assert w[3] > w[4]
+    again = {r["doc_id"]: r["weight"] for r in
+             importance.importance_weights(docs.repartition(7), target).collect()}
+    assert w == again
+
+
+def test_dsir_select_gumbel_topk(spark):
+    """Selection is exactly k, deterministic, and keys equal
+    weight + content-hash Gumbel noise (recomputable row-by-row)."""
+    import math
+
+    import pytest as _pytest
+
+    from osm_wikidata_spark.operators import importance
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} common text tokens here", "s" + str(i % 2))
+         for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    target = docs.filter("source = 's0'")
+    sel = importance.dsir_select(docs, target, k=10)
+    rows = sel.collect()
+    assert len(rows) == 10
+    # key is recomputable from (weight, doc_id) with plain Python
+    import hashlib
+
+    for r in rows:
+        u = (int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+             + 0.5) / 2**32
+        assert abs(r["key"] - round(r["weight"] + -math.log(-math.log(u)), 6)) < 2e-6
+    again = importance.dsir_select(docs.repartition(13), target, k=10)
+    assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in rows}
+    with _pytest.raises(ValueError):
+        importance.dsir_select(docs, target, k=0)
+    with _pytest.raises(ValueError):
+        importance.importance_weights(docs, target, hex_chars=9)
