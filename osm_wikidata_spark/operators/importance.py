@@ -63,14 +63,44 @@ def gram_buckets(text_col: str = "text", hex_chars: int = 3) -> F.Column:
     )
 
 
-def _bucket_counts(
-    df: DataFrame, text_col: str, hex_chars: int
+def _ratio_dim(
+    docs: DataFrame, target: DataFrame, text_col: str, hex_chars: int
 ) -> DataFrame:
-    """(bucket, c) gram-occurrence counts — one explode + one hash agg."""
-    return (
-        df.select(F.explode(gram_buckets(text_col, hex_chars)).alias("bucket"))
+    """(bucket, lr) add-1-smoothed ``log p_target/p_raw`` dictionary.
+
+    One TAGGED UNION of the two gram streams feeds a single aggregation
+    producing both corpora's counts per bucket — each corpus is
+    gram-exploded exactly once.  The normalisers ``N_raw``/``N_tgt`` are
+    window sums OVER THE DIM itself (≤ ``16^hex_chars`` rows by
+    construction, so the single-partition window is a non-issue), not a
+    second pass over the corpora."""
+    from pyspark.sql.window import Window
+
+    b_space = float(16**hex_chars)
+    grams = lambda df, side: df.select(  # noqa: E731
+        F.explode(gram_buckets(text_col, hex_chars)).alias("bucket"),
+        F.lit(side).alias("side"),
+    )
+    counts = (
+        grams(docs, "r")
+        .unionByName(grams(target, "t"))
         .groupBy("bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count(F.when(F.col("side") == "r", 1)).alias("c"),
+            F.count(F.when(F.col("side") == "t", 1)).alias("ct"),
+        )
+    )
+    w0 = Window.partitionBy()
+    return counts.select(
+        "bucket",
+        (
+            F.log(F.col("ct") + F.lit(1.0))
+            - F.log(F.col("c") + F.lit(1.0))
+            + F.log(
+                (F.sum("c").over(w0) + F.lit(b_space))
+                / (F.sum("ct").over(w0) + F.lit(b_space))
+            )
+        ).alias("lr"),
     )
 
 
@@ -89,41 +119,17 @@ def importance_weights(
     more like ``target`` than like the raw corpus.  Docs with no grams
     (null text) are dropped — they carry no evidence either way.
 
-    Plan: two count aggs (raw + target) → one ≤B-row ratio dim →
-    broadcast join onto the gram stream → per-doc sum.  The ratio dim
-    is provably ≤ ``16^hex_chars`` rows, so the broadcast is safe by
-    construction (contrast the data-dependent keep-set in
-    ``dedup.cap_buckets``, which must stay unhinted).
+    Plan: one tagged-union count agg (each corpus exploded once) → one
+    ≤B-row ratio dim → broadcast join onto the gram stream → per-doc
+    sum (map-side combinable).  The ratio dim is provably
+    ≤ ``16^hex_chars`` rows, so the broadcast is safe by construction
+    (contrast the data-dependent keep-set in ``dedup.cap_buckets``,
+    which must stay unhinted).
     """
     if not 1 <= hex_chars <= 4:
         raise ValueError(f"hex_chars must be in 1..4, got {hex_chars}")
-    b_space = float(16**hex_chars)
 
-    raw_c = _bucket_counts(docs, text_col, hex_chars)
-    tgt_c = _bucket_counts(target, text_col, hex_chars)
-
-    # every scored bucket exists in raw_c (docs IS the raw corpus), so a
-    # left join covers the space; absent target buckets smooth to count 0
-    raw_tot = raw_c.agg(F.sum("c").alias("n_raw"))
-    tgt_tot = tgt_c.agg(F.sum("c").alias("n_tgt"))
-    ratio_dim = (
-        raw_c.join(
-            tgt_c.withColumnRenamed("c", "ct"), "bucket", "left"
-        )
-        .crossJoin(raw_tot)
-        .crossJoin(tgt_tot)
-        .select(
-            "bucket",
-            (
-                F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                - F.log(F.col("c") + F.lit(1.0))
-                + F.log(
-                    (F.col("n_raw") + F.lit(b_space))
-                    / (F.col("n_tgt") + F.lit(b_space))
-                )
-            ).alias("lr"),
-        )
-    )
+    ratio_dim = _ratio_dim(docs, target, text_col, hex_chars)
 
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
