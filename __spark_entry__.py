@@ -803,6 +803,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.filter(F.col("source").isin("src0", "src1")), k=100
         )
 
+    def q_decontaminate_fuzzy(spark, sf):
+        # PaLM/Llama-style fuzzy decontamination: train docs covering
+        # >= 5% of an eval doc's distinct 3-gram shingles (low threshold +
+        # n=3 because the synthetic corpus has little genuine overlap;
+        # production defaults are n=8, threshold ~0.7)
+        from osm_wikidata_spark.operators import contamination
+
+        docs = _t(spark, sf, "documents")
+        return contamination.fuzzy_contaminated_docs(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            threshold=0.05,
+            shingle_n=3,
+        )
+
     def q_token_count(spark, sf):
         return _t(spark, sf, "documents").select(
             "doc_id", textstats.token_count().alias("n_tokens")
@@ -1938,16 +1953,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_select": q_dsir_select,
+        "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
         # --- marquee operators / bench headliners ---
         "q_dedup_canonical": q_dedup_canonical,
         "q_ivf_topk": q_ivf_topk,
         "q_er_pipeline": q_er_pipeline,
-        "q_name_match": q_name_match,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         # --- derivative shapes, driver-green in r01-r03 archives,
         #     or rows-only (q_multimodal_features) ---
+        "q_name_match": q_name_match,
         "q_transcripts_invariant": q_transcripts_invariant,
         "q_embed_lsh_topk": q_embed_lsh_topk,
         "q_dedup_embed_lsh": q_dedup_embed_lsh,
@@ -2322,6 +2338,36 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT ev.eval_id) AS n_eval_docs
             FROM tr JOIN ev USING (shingle)
             GROUP BY tr.doc_id
+        """,
+        "q_decontaminate_fuzzy": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                                    FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS s
+              FROM d
+            ),
+            tr AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 50 <> 0),
+            ev AS (
+              SELECT doc_id AS eval_id, len(s) AS ne, unnest(s) AS shingle
+              FROM sh WHERE doc_id % 50 = 0
+            ),
+            pairs AS (
+              SELECT tr.doc_id, ev.eval_id,
+                     round(count(*) * 1.0 / ev.ne, 6) AS containment
+              FROM tr JOIN ev USING (shingle)
+              GROUP BY tr.doc_id, ev.eval_id, ev.ne
+            )
+            SELECT doc_id,
+                   max(containment) AS max_containment,
+                   count(DISTINCT eval_id) AS n_eval_docs
+            FROM pairs
+            WHERE containment >= 0.05
+            GROUP BY doc_id
         """,
         # Gopher repetition signals over the derived 8-word-line view;
         # struct max = the same (count, chars) lexicographic tie-break the

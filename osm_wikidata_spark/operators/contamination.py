@@ -55,3 +55,61 @@ def contaminated_docs(
             F.countDistinct("eval_id").alias("n_eval_docs"),
         )
     )
+
+
+def fuzzy_contaminated_docs(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.7,
+    shingle_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy decontamination: flag training docs that COVER ≥ ``threshold``
+    of some eval document's distinct ``shingle_n``-grams (eval-side
+    containment, the PaLM / Llama-2 style rule — an eval item is
+    compromised when most of it appears inside one training doc, even if
+    the training doc is much longer, which plain Jaccard would dilute).
+
+    Returns one row per contaminated training doc:
+    ``(doc_id, max_containment, n_eval_docs)`` over its ≥-threshold eval
+    matches.  Exact — no MinHash estimate: the candidate pair set is
+    bounded by shared-shingle co-occurrence, and the eval corpus is tiny
+    by construction (benchmarks), so the exact bipartite join is the
+    scale-correct plan; no self-join prefix filtering needed (contrast
+    ``dedup.ngram_jaccard_pairs``, where the corpus joins itself).
+
+    Plan: two explodes → one hash join on 8-byte shingle identities →
+    one (train, eval) agg → one per-train-doc agg.  Eval-side shingle
+    counts ride the explode (``ne``), so containment needs no second
+    pass.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingle_hashes(text_col, shingle_n)).alias("shingle"),
+    )
+    ev = eval_docs.select(
+        F.col(eval_id_col).alias("eval_id"),
+        word_shingle_hashes(eval_text_col, shingle_n).alias("sh"),
+    ).select(
+        "eval_id", F.size("sh").alias("ne"), F.explode("sh").alias("shingle")
+    )
+    pairs = (
+        t.join(ev, "shingle")
+        .groupBy("doc_id", "eval_id", "ne")
+        .agg(F.count("*").alias("common"))
+        .select(
+            "doc_id",
+            "eval_id",
+            F.round(F.col("common") / F.col("ne"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.max("containment").alias("max_containment"),
+        F.countDistinct("eval_id").alias("n_eval_docs"),
+    )

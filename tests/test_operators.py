@@ -1390,3 +1390,42 @@ def test_dsir_select_gumbel_topk(spark):
         importance.dsir_select(docs, target, k=0)
     with _pytest.raises(ValueError):
         importance.importance_weights(docs, target, hex_chars=9)
+
+
+def test_fuzzy_contamination_eval_containment(spark):
+    """Containment is eval-sided: a long train doc that swallows a short
+    eval doc whole scores 1.0 even though Jaccard is low; unrelated docs
+    never flag; threshold is validated."""
+    import pytest as _pytest
+
+    from osm_wikidata_spark.operators import contamination
+
+    train = spark.createDataFrame(
+        [
+            # contains all of eval doc 100's text + lots more
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # shares nothing
+            (2, "one two three four five six"),
+            # shares exactly one of eval-101's four 2-word... (3-grams): partial
+            (3, "beta gamma delta unrelated tail words here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon"), (101, "beta gamma delta zz yy xx")],
+        "doc_id long, text string",
+    )
+    out = contamination.fuzzy_contaminated_docs(train, ev, threshold=0.5, shingle_n=3)
+    got = {r["doc_id"]: (r["max_containment"], r["n_eval_docs"]) for r in out.collect()}
+    # eval 100 has 3 distinct 3-grams, all inside train 1 -> containment 1.0
+    assert got[1] == (1.0, 1)
+    assert 2 not in got
+    # train 3's best coverage is 1 of eval 100's 3 shingles = 0.333 < 0.5
+    assert 3 not in got
+    # at a lower threshold train 3 appears: max(1/3 vs eval 100, 1/4 vs
+    # eval 101) = 0.333333, and it hits BOTH eval docs
+    low = contamination.fuzzy_contaminated_docs(train, ev, threshold=0.2, shingle_n=3)
+    got_low = {r["doc_id"]: (r["max_containment"], r["n_eval_docs"]) for r in low.collect()}
+    assert got_low[3] == (0.333333, 2)
+    with _pytest.raises(ValueError):
+        contamination.fuzzy_contaminated_docs(train, ev, threshold=0.0)
