@@ -65,6 +65,11 @@ HEADLINE = [
     "q_repetition_stats",
     "q_duplicate_spans",
     "q_pack_sequences",
+    # round-4 late additions: semantic dedup, importance resampling,
+    # fuzzy decontamination (explode/join/topk plans worth tracking)
+    "q_semdedup",
+    "q_dsir_select",
+    "q_decontaminate_fuzzy",
 ]
 
 

@@ -256,3 +256,53 @@ def test_assign_shards_single_shuffle(spark):
     plan = _formatted_plan(entry.queries()["q_assign_shards"](spark, SF))
     shuffles = re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M)
     assert len(shuffles) == 1, plan
+
+
+def test_dsir_select_plan_shape(spark):
+    """DSIR: the ratio dim must BROADCAST onto the gram stream (it is
+    ≤4096 rows by construction), the corpus must be scanned exactly 3
+    times (dim raw + dim target + scoring — each gram explode once), the
+    global top-k must be a TakeOrderedAndProject (no full sort), and no
+    Python evaluation anywhere (pure JVM expressions)."""
+    import re
+
+    import __spark_entry__ as entry
+
+    plan = _formatted_plan(entry.queries()["q_dsir_select"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 3, plan
+
+
+def test_semdedup_cell_assignment_arrow_vectorised(spark):
+    """SemDeDup's cell-assignment stage (ivf_assign) must be ONE
+    ArrowEvalPython node (a single batched matmul), never row-at-a-time
+    BatchEvalPython.  semdedup's final frame can't be asserted directly —
+    near_dup_clusters checkpoints the iterative CC, truncating the lineage
+    to a Scan ExistingRDD — so we pin the visible stage.  The cell join's
+    no-forced-broadcast invariant is pinned on the shared cap_buckets
+    machinery by test_minhash_keep_join_not_forced_broadcast."""
+    from osm_wikidata_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id bigint, embedding array<double>"
+    )
+    plan = _formatted_plan(similarity.ivf_assign(vecs, [[1.0, 0.0], [0.0, 1.0]]))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # end-to-end still runs and clusters the planted near-identical pair
+    out = similarity.semdedup(vecs, [[1.0, 0.0], [0.0, 1.0]], threshold=0.9)
+    rows = {(r.doc_id, r.canonical_id) for r in out.collect()}
+    assert rows == {(1, 1), (2, 1)}
+
+
+def test_fuzzy_decontamination_no_python(spark):
+    """Fuzzy decontamination is an all-JVM plan: shingle identities are
+    xxhash64 expressions, so no Python evaluation may appear."""
+    import __spark_entry__ as entry
+
+    plan = _formatted_plan(entry.queries()["q_decontaminate_fuzzy"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
