@@ -303,6 +303,16 @@ _HTML_CASES = [
     ("plain", "no bold here", []),
 ]
 
+# Fellegi-Sunter comparison bands over the north-star scores (ascending
+# thresholds; level = number met, so 3 levels each).  Shared between
+# q_fs_em and its unrolled-SQL oracle so banding decisions are identical.
+_FS_BANDS = {
+    "lev_ratio": [0.5, 0.9],
+    "jaro_winkler": [0.8, 0.95],
+    "token_overlap": [0.4, 0.9],
+}
+_FS_ITER = 20
+
 
 # ---------------------------------------------------------------- queries
 
@@ -480,6 +490,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         pairs = salted_pair_join(cust_blocks, supp_blocks, salt=8)
         return pairs.groupBy("block_key").agg(F.count("*").alias("n_pairs"))
+
+    def _part_name_pairs(spark, sf):
+        # blocked candidate pairs over the part-name corpus: (p_brand,
+        # p_size) is the blocking key — the equi-join analog of J1 with a
+        # plain key (the salted path is exercised by q_blocking_join)
+        part = _t(spark, sf, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+        left = part.select(
+            F.col("p_partkey").alias("left_id"),
+            F.col("p_name").alias("left_name"),
+            "p_brand",
+            "p_size",
+        )
+        right = part.select(
+            F.col("p_partkey").alias("right_id"),
+            F.col("p_name").alias("right_name"),
+            "p_brand",
+            "p_size",
+        )
+        return (
+            left.join(right, ["p_brand", "p_size"])
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id", "left_name", "right_name")
+        )
+
+    def q_pair_scores(spark, sf):
+        # north-star scoring trio (BASELINE.json): Jaro-Winkler,
+        # Levenshtein-ratio, token-set overlap over blocked pairs —
+        # lev/token pure JVM, JW one ArrowEvalPython with per-batch memo
+        from osm_wikidata_spark.operators.scoring import score_name_pairs
+
+        return score_name_pairs(_part_name_pairs(spark, sf)).select(
+            "left_id", "right_id", "lev_ratio", "jaro_winkler", "token_overlap"
+        )
+
+    def q_fs_em(spark, sf):
+        # Fellegi-Sunter EM (unsupervised m/u/λ estimation) over banded
+        # comparison vectors; one pattern-count shuffle, driver EM on the
+        # ≤27-row sufficient statistics, log2 Bayes factors per pattern
+        from osm_wikidata_spark.operators.linkage import (
+            comparison_vectors,
+            fellegi_sunter_em,
+        )
+        from osm_wikidata_spark.operators.scoring import score_name_pairs
+
+        cv = comparison_vectors(
+            score_name_pairs(_part_name_pairs(spark, sf)), _FS_BANDS
+        ).select(
+            F.col("gamma_lev_ratio").alias("g_lev"),
+            F.col("gamma_jaro_winkler").alias("g_jw"),
+            F.col("gamma_token_overlap").alias("g_tok"),
+        )
+        patterns, _params = fellegi_sunter_em(
+            cv, ["g_lev", "g_jw", "g_tok"], [3, 3, 3], n_iter=_FS_ITER
+        )
+        return patterns
 
     def q_nrhp_shortcut(spark, sf):
         # J3: unique-reference short-circuit (matcher.py:322-345)
@@ -1957,12 +2022,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- marquee operators / bench headliners ---
         "q_dedup_canonical": q_dedup_canonical,
         "q_ivf_topk": q_ivf_topk,
-        "q_er_pipeline": q_er_pipeline,
-        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_pair_scores": q_pair_scores,
+        "q_fs_em": q_fs_em,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         # --- derivative shapes, driver-green in r01-r03 archives,
-        #     or rows-only (q_multimodal_features) ---
+        #     or rows-only (q_er_pipeline, q_multimodal_features) ---
+        "q_er_pipeline": q_er_pipeline,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_name_match": q_name_match,
         "q_transcripts_invariant": q_transcripts_invariant,
         "q_embed_lsh_topk": q_embed_lsh_topk,
@@ -2086,7 +2153,114 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # -------- q_pair_scores / q_fs_em: north-star scores + Fellegi-Sunter.
+    # DuckDB computes levenshtein/jaro_winkler natively (byte-oriented, but
+    # p_name is pure ASCII so it coincides with Spark's codepoint level);
+    # the EM oracle is the SAME model unrolled as 20 chained CTE iterations
+    # — a genuinely independent recomputation of the fit in SQL.
+    _pair_scores_sql = """
+        WITH pairs AS (
+          SELECT l.p_partkey AS left_id, r.p_partkey AS right_id,
+                 l.p_name AS ln, r.p_name AS rn
+          FROM part l JOIN part r
+            ON l.p_brand = r.p_brand AND l.p_size = r.p_size
+           AND l.p_partkey < r.p_partkey
+        )
+        SELECT left_id, right_id,
+          round(1.0 - CAST(levenshtein(ln, rn) AS DOUBLE)
+                    / greatest(length(ln), length(rn)), 6) AS lev_ratio,
+          round(jaro_winkler_similarity(ln, rn), 6) AS jaro_winkler,
+          round(CASE WHEN least(
+                  len(list_distinct(list_filter(string_split(ln, ' '), x -> x <> ''))),
+                  len(list_distinct(list_filter(string_split(rn, ' '), x -> x <> '')))) = 0
+                THEN 0.0
+                ELSE CAST(len(list_intersect(
+                       list_distinct(list_filter(string_split(ln, ' '), x -> x <> '')),
+                       list_distinct(list_filter(string_split(rn, ' '), x -> x <> ''))))
+                     AS DOUBLE)
+                   / least(
+                  len(list_distinct(list_filter(string_split(ln, ' '), x -> x <> ''))),
+                  len(list_distinct(list_filter(string_split(rn, ' '), x -> x <> ''))))
+                END, 6) AS token_overlap
+        FROM pairs
+    """
+
+    def _fs_em_sql() -> str:
+        from osm_wikidata_spark.operators.linkage import FLOOR, _init_probs
+
+        gammas = ["g_lev", "g_jw", "g_tok"]
+        n_levels = 3
+        m0, u0 = _init_probs(n_levels, True), _init_probs(n_levels, False)
+
+        def _band_case(col: str) -> str:
+            lo, hi = _FS_BANDS[col]
+            return (
+                f"CASE WHEN {col} >= {hi!r} THEN 2 "
+                f"WHEN {col} >= {lo!r} THEN 1 ELSE 0 END"
+            )
+
+        p0_cols = [f"CAST({0.1!r} AS DOUBLE) AS lam"]
+        for k in range(3):
+            for v in range(n_levels):
+                p0_cols.append(f"CAST({m0[v]!r} AS DOUBLE) AS m{k}_{v}")
+                p0_cols.append(f"CAST({u0[v]!r} AS DOUBLE) AS u{k}_{v}")
+
+        def _lvl(prefix: str, k: int) -> str:
+            g = gammas[k]
+            return (
+                f"(CASE p.{g} WHEN 0 THEN s.{prefix}{k}_0 "
+                f"WHEN 1 THEN s.{prefix}{k}_1 ELSE s.{prefix}{k}_2 END)"
+            )
+
+        mprod = " * ".join(_lvl("m", k) for k in range(3))
+        uprod = " * ".join(_lvl("u", k) for k in range(3))
+        ctes = []
+        for i in range(1, _FS_ITER + 1):
+            ctes.append(
+                f"w{i} AS (SELECT p.g_lev, p.g_jw, p.g_tok, p.n,"
+                f" (s.lam * {mprod}) / ((s.lam * {mprod})"
+                f" + ((1.0 - s.lam) * {uprod})) AS w"
+                f" FROM pat p CROSS JOIN p{i - 1} s)"
+            )
+            aggs = ["sum(n * w) / sum(n) AS lam"]
+            for k in range(3):
+                g = gammas[k]
+                for v in range(n_levels):
+                    ind = f"(CASE WHEN {g} = {v} THEN 1.0 ELSE 0.0 END)"
+                    aggs.append(
+                        f"greatest(sum(n * w * {ind}) / sum(n * w), {FLOOR!r})"
+                        f" AS m{k}_{v}"
+                    )
+                    aggs.append(
+                        f"greatest(sum(n * (1.0 - w) * {ind})"
+                        f" / (sum(n) - sum(n * w)), {FLOOR!r}) AS u{k}_{v}"
+                    )
+            ctes.append(f"p{i} AS (SELECT {', '.join(aggs)} FROM w{i})")
+
+        return f"""
+        WITH scored AS ({_pair_scores_sql}),
+        cv AS (
+          SELECT {_band_case('lev_ratio')} AS g_lev,
+                 {_band_case('jaro_winkler')} AS g_jw,
+                 {_band_case('token_overlap')} AS g_tok
+          FROM scored
+        ),
+        pat AS (
+          SELECT g_lev, g_jw, g_tok, CAST(count(*) AS DOUBLE) AS n
+          FROM cv GROUP BY g_lev, g_jw, g_tok
+        ),
+        p0 AS (SELECT {', '.join(p0_cols)}),
+        {', '.join(ctes)}
+        SELECT p.g_lev, p.g_jw, p.g_tok, CAST(p.n AS BIGINT) AS n_pairs,
+          round(log2(({mprod}) / ({uprod})), 6) AS match_weight,
+          round((s.lam * ({mprod})) / ((s.lam * ({mprod}))
+                + ((1.0 - s.lam) * ({uprod}))), 6) AS posterior
+        FROM pat p CROSS JOIN p{_FS_ITER} s
+        """
+
     return {
+        "q_pair_scores": _pair_scores_sql,
+        "q_fs_em": _fs_em_sql(),
         "q_scan_entities": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000

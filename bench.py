@@ -70,6 +70,9 @@ HEADLINE = [
     "q_semdedup",
     "q_dsir_select",
     "q_decontaminate_fuzzy",
+    # round 4: north-star scoring trio + Fellegi-Sunter EM fit
+    "q_pair_scores",
+    "q_fs_em",
 ]
 
 

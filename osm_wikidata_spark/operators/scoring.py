@@ -1,0 +1,182 @@
+"""Continuous pairwise string-similarity scores for candidate pairs.
+
+BASELINE.json's north star names the batched pairwise scores explicitly:
+"Jaro-Winkler, Levenshtein-ratio and token-set overlap".  The reference's
+name comparison is a boolean decision cascade (match.py check_for_match —
+implemented exactly in kernel/cascade.py and pinned at F1=1.00); these are
+the *continuous* companions that a probabilistic linkage layer
+(operators/linkage.py, Fellegi-Sunter) bands into comparison levels, the
+Splink-style architecture for record linkage at scale.
+
+Execution split (the repo's standing rule — JVM for everything Spark can
+express, Arrow batches for the rest):
+
+* ``levenshtein_ratio`` — pure JVM: Spark's built-in ``levenshtein`` is
+  codegen'd; the ratio is arithmetic on top.  Whole-stage codegen keeps it
+  inside the pair join's stage, zero Python cost at 10^12 pairs.
+* ``token_set_overlap`` — pure JVM array algebra (``split`` /
+  ``array_distinct`` / ``array_intersect``); set semantics, so duplicate
+  tokens count once.
+* ``jaro_winkler`` — no Spark built-in, so a pandas UDF with the batch-wide
+  distinct-pair memo (functions/udfs.py pattern): real name data is Zipfian,
+  so the per-batch distinct ratio is ~0.1-0.3 and the Python kernel runs
+  once per distinct pair.  Codepoint-level (Python str), Winkler parameters
+  p=0.1, max prefix 4, boost only when jaro > 0.7 — the classic Winkler'90
+  spec, byte-identical to DuckDB/RapidFuzz on ASCII (the oracle pins this
+  on the all-ASCII part-name corpus; DuckDB itself is byte-oriented so
+  non-ASCII comparisons legitimately diverge — ours is the
+  codepoint-correct one).
+
+Oracle notes: all three scores are rounded to 6 dp with ``F.round``
+(HALF_UP, matching DuckDB ``round``); q_pair_scores compares every pair of
+the sf corpus against DuckDB's native ``levenshtein`` /
+``jaro_winkler_similarity`` / ``list_intersect``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType
+
+
+def jaro(s1: str, s2: str) -> float:
+    """Jaro similarity (Jaro 1989), codepoint-level.
+
+    Match window ``max(|s1|,|s2|)//2 - 1`` (floored at 0), transpositions
+    counted as half the out-of-order matched positions — the textbook
+    definition DuckDB/RapidFuzz implement.
+    """
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        # both-empty scores 0.0 too — DuckDB/RapidFuzz's convention (no
+        # matched characters → no evidence), pinned by the 22k-case
+        # differential fuzz in tests/test_scoring.py
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    matched1 = [False] * l1
+    matched2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        c = s1[i]
+        for j in range(lo, hi):
+            if not matched2[j] and s2[j] == c:
+                matched1[i] = True
+                matched2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(l1):
+        if matched1[i]:
+            while not matched2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+
+def jaro_winkler(
+    s1: str,
+    s2: str,
+    prefix_weight: float = 0.1,
+    max_prefix: int = 4,
+    boost_threshold: float = 0.7,
+) -> float:
+    """Jaro-Winkler (Winkler 1990): Jaro boosted by the common prefix,
+    applied only above the 0.7 threshold (strictly greater — the RapidFuzz/
+    DuckDB convention, verified empirically against DuckDB)."""
+    sim = jaro(s1, s2)
+    if sim > boost_threshold:
+        prefix = 0
+        for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
+            if a != b:
+                break
+            prefix += 1
+        sim += prefix * prefix_weight * (1.0 - sim)
+    return sim
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_udf(left: pd.Series, right: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler with the batch-wide distinct-pair memo."""
+    memo: dict[tuple[str, str], float | None] = {}
+    out = []
+    for a, b in zip(left, right):
+        key = (a, b)
+        if key not in memo:
+            memo[key] = None if a is None or b is None else jaro_winkler(a, b)
+        out.append(memo[key])
+    return pd.Series(out, dtype="float64")
+
+
+def levenshtein_ratio(left: str | F.Column, right: str | F.Column) -> F.Column:
+    """1 - edit_distance / max(len) — pure JVM (whole-stage codegen).
+
+    Both-empty compares as 1.0 (identical), sidestepping the 0/0 division
+    (Spark yields NULL, DuckDB errors — neither is the similarity answer).
+    """
+    lc, rc = F.col(left) if isinstance(left, str) else left, (
+        F.col(right) if isinstance(right, str) else right
+    )
+    longest = F.greatest(F.length(lc), F.length(rc))
+    return F.when(longest == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(lc, rc).cast("double") / longest
+    )
+
+
+def token_set_overlap(
+    left: str | F.Column, right: str | F.Column, sep: str = " "
+) -> F.Column:
+    """Overlap coefficient on distinct token sets: |A∩B| / min(|A|,|B|).
+
+    Pure JVM array algebra; ``array_intersect`` already set-dedups, matching
+    DuckDB ``list_intersect``.  Either side tokenising to the empty set
+    scores 0.0 (no evidence ≠ evidence of match).
+    """
+    lc = F.col(left) if isinstance(left, str) else left
+    rc = F.col(right) if isinstance(right, str) else right
+    lt = F.array_distinct(F.filter(F.split(lc, sep), lambda t: t != ""))
+    rt = F.array_distinct(F.filter(F.split(rc, sep), lambda t: t != ""))
+    smaller = F.least(F.size(lt), F.size(rt))
+    return F.when(smaller == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_intersect(lt, rt)).cast("double") / smaller
+    )
+
+
+def score_name_pairs(
+    pairs: DataFrame,
+    left_col: str = "left_name",
+    right_col: str = "right_name",
+    precision: int = 6,
+) -> DataFrame:
+    """Append the three north-star scores to a candidate-pair frame.
+
+    One projection — the two JVM scores fuse into the surrounding stage's
+    codegen, the Jaro-Winkler UDF is a single ArrowEvalPython over the same
+    pass.  Scores are rounded to ``precision`` so downstream banding
+    (linkage.comparison_vectors) makes identical decisions in Spark and any
+    oracle re-computation.
+    """
+    return (
+        pairs.withColumn(
+            "lev_ratio", F.round(levenshtein_ratio(left_col, right_col), precision)
+        )
+        .withColumn(
+            "jaro_winkler",
+            F.round(jaro_winkler_udf(F.col(left_col), F.col(right_col)), precision),
+        )
+        .withColumn(
+            "token_overlap", F.round(token_set_overlap(left_col, right_col), precision)
+        )
+    )

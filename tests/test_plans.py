@@ -298,6 +298,19 @@ def test_semdedup_cell_assignment_arrow_vectorised(spark):
     assert rows == {(1, 1), (2, 1)}
 
 
+def test_pair_scores_single_arrow_stage(spark):
+    """The scoring trio crosses the JVM/Python boundary exactly once (the
+    Jaro-Winkler pandas UDF); Levenshtein-ratio and token-overlap must stay
+    JVM-side, and never row-at-a-time Python."""
+    import re
+
+    import __spark_entry__ as entry
+
+    plan = _formatted_plan(entry.queries()["q_pair_scores"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, flags=re.M)) == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_fuzzy_decontamination_no_python(spark):
     """Fuzzy decontamination is an all-JVM plan: shingle identities are
     xxhash64 expressions, so no Python evaluation may appear."""

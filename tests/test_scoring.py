@@ -1,0 +1,154 @@
+"""North-star string-similarity scores (operators/scoring.py).
+
+The kernels are pinned two ways: a DuckDB differential fuzz (DuckDB's
+native jaro/levenshtein implementations are an independent oracle —
+byte-based, so the fuzz corpus is ASCII) and hand-worked textbook cases.
+The Spark columns are then checked against the pure kernels.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from osm_wikidata_spark.operators.scoring import (
+    jaro,
+    jaro_winkler,
+    levenshtein_ratio,
+    score_name_pairs,
+    token_set_overlap,
+)
+
+
+# ------------------------------------------------------------- pure kernel
+
+
+def test_jaro_winkler_textbook_cases():
+    # Winkler's own canonical examples
+    assert jaro("MARTHA", "MARHTA") == pytest.approx(0.944444444444)
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.961111111111)
+    assert jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.84)
+    assert jaro_winkler("DIXON", "DICKSONX") == pytest.approx(0.813333333333)
+
+
+def test_jaro_edge_cases():
+    assert jaro("", "") == 0.0  # DuckDB/RapidFuzz convention
+    assert jaro("a", "") == 0.0
+    assert jaro("a", "a") == 1.0
+    # window = max(2)//2 - 1 = 0: no cross-position matches allowed
+    assert jaro("ab", "ba") == 0.0
+    # identical long strings
+    assert jaro_winkler("abcdefgh", "abcdefgh") == 1.0
+
+
+def test_winkler_boost_only_above_threshold():
+    # common prefix but jaro <= 0.7: no boost (DuckDB-verified convention)
+    s1, s2 = "abquick", "abzzzzz"
+    assert jaro(s1, s2) <= 0.7
+    assert jaro_winkler(s1, s2) == jaro(s1, s2)
+    # above threshold: boost caps at 4 prefix chars
+    j = jaro("prefixes", "prefixed")
+    assert j > 0.7
+    assert jaro_winkler("prefixes", "prefixed") == pytest.approx(
+        j + 4 * 0.1 * (1 - j)
+    )
+
+
+def test_jaro_winkler_codepoint_level():
+    # codepoints, not bytes: 'café'/'cafe' differ in ONE position of four
+    assert jaro("café", "cafe") == pytest.approx((3 / 4 + 3 / 4 + 1) / 3)
+
+
+def test_differential_fuzz_vs_duckdb():
+    """22k ASCII cases vs DuckDB's independent implementation, exact."""
+    con = duckdb.connect()
+    rng = random.Random(42)
+    alpha = "abcdefgh "
+    cases = []
+    for _ in range(20000):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        if rng.random() < 0.3:
+            b = a[: rng.randint(0, len(a))] + b
+        cases.append((a, b))
+    con.execute("CREATE TABLE c(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", cases)
+    got = con.execute(
+        "SELECT jaro_winkler_similarity(a,b), jaro_similarity(a,b) FROM c"
+    ).fetchall()
+    for (a, b), (jw_d, j_d) in zip(cases, got):
+        assert jaro_winkler(a, b) == pytest.approx(jw_d, abs=1e-12), (a, b)
+        assert jaro(a, b) == pytest.approx(j_d, abs=1e-12), (a, b)
+
+
+# ------------------------------------------------------------ Spark columns
+
+
+def test_spark_scores_match_kernel(spark):
+    rows = [
+        (1, "goldenrod lavender spring", "goldenrod lavender spring"),
+        (2, "martha stewart", "marhta stewart"),
+        (3, "red lion inn", "blue boar tavern"),
+        (4, "a b c", "c b a"),
+        (5, "", "nonempty"),
+        (6, "", ""),
+        (7, "double  space", "double space"),
+    ]
+    df = spark.createDataFrame(rows, "pair_id int, left_name string, right_name string")
+    out = {
+        r["pair_id"]: r
+        for r in score_name_pairs(df).collect()
+    }
+    import math
+
+    for pid, ln, rn in rows:
+        got = out[pid]
+        assert got["jaro_winkler"] == round(jaro_winkler(ln, rn), 6), (ln, rn)
+        # lev ratio reference: python Levenshtein via simple DP
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        expect_lr = (
+            1.0
+            if not ln and not rn
+            else round(1.0 - lev(ln, rn) / max(len(ln), len(rn)), 6)
+        )
+        assert got["lev_ratio"] == pytest.approx(expect_lr), (ln, rn)
+        lt = {t for t in ln.split(" ") if t}
+        rt = {t for t in rn.split(" ") if t}
+        expect_to = (
+            0.0 if not lt or not rt else round(len(lt & rt) / min(len(lt), len(rt)), 6)
+        )
+        assert got["token_overlap"] == pytest.approx(expect_to), (ln, rn)
+        assert math.isfinite(got["jaro_winkler"])
+
+
+def test_token_overlap_set_semantics(spark):
+    # duplicate tokens count once; empty side scores 0
+    df = spark.createDataFrame(
+        [("x x x y", "x z"), ("a", " ")], "l string, r string"
+    )
+    got = df.select(token_set_overlap("l", "r").alias("s")).collect()
+    assert got[0]["s"] == pytest.approx(0.5)  # {x,y} ∩ {x,z} / min(2,2)
+    assert got[1]["s"] == 0.0
+
+
+def test_levenshtein_ratio_null_and_empty(spark):
+    df = spark.createDataFrame(
+        [("", ""), (None, "abc"), ("abc", "abd")], "l string, r string"
+    )
+    got = df.select(levenshtein_ratio("l", "r").alias("s")).collect()
+    assert got[0]["s"] == 1.0  # both empty → identical
+    assert got[1]["s"] is None  # null propagates
+    assert got[2]["s"] == pytest.approx(1 - 1 / 3)
