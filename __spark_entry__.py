@@ -546,6 +546,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return patterns
 
+    def _part_block_memberships(spark, sf):
+        # dirty token blocking: every (name-word|size) plus (brand|size)
+        # is a block — the meta-blocking substrate
+        size_s = F.col("p_size").cast("string")
+        blocks = F.array_union(
+            F.transform(
+                F.split("p_name", " "),
+                lambda w: F.concat(w, F.lit("|"), size_s),
+            ),
+            F.array(F.concat(F.col("p_brand"), F.lit("|"), size_s)),
+        )
+        return _t(spark, sf, "part").select(
+            F.col("p_partkey").alias("id"), F.explode(blocks).alias("block_key")
+        )
+
+    def q_meta_weights(spark, sf):
+        # meta-blocking edge weighting (Papadakis TKDE'13): CBS + Jaccard
+        # over the blocking graph, one block self-join + one pair groupBy
+        from osm_wikidata_spark.operators.metablocking import block_edge_weights
+
+        return block_edge_weights(_part_block_memberships(spark, sf))
+
+    def q_meta_cnp(spark, sf):
+        # cardinality node pruning: keep edges in either endpoint's top-2
+        # by (rounded) Jaccard weight — the candidate-set reducer that runs
+        # BEFORE pairwise scoring at scale
+        from osm_wikidata_spark.operators.metablocking import (
+            block_edge_weights,
+            prune_edges_cnp,
+        )
+
+        weights = block_edge_weights(_part_block_memberships(spark, sf))
+        return prune_edges_cnp(weights, k=2)
+
     def q_nrhp_shortcut(spark, sf):
         # J3: unique-reference short-circuit (matcher.py:322-345)
         return (
@@ -2024,6 +2058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         "q_pair_scores": q_pair_scores,
         "q_fs_em": q_fs_em,
+        "q_meta_weights": q_meta_weights,
+        "q_meta_cnp": q_meta_cnp,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         # --- derivative shapes, driver-green in r01-r03 archives,
@@ -2258,9 +2294,55 @@ def oracle_sql() -> dict[str, str]:
         FROM pat p CROSS JOIN p{_FS_ITER} s
         """
 
+    # -------- meta-blocking: CBS/Jaccard edge weights + CNP pruning over
+    # the (name-word|size) ∪ (brand|size) token-blocking graph.
+    _meta_weights_sql = """
+        WITH m AS (
+          SELECT DISTINCT p_partkey AS id, w AS block_key
+          FROM part, unnest(list_append(
+            list_transform(string_split(p_name, ' '),
+                           x -> x || '|' || CAST(p_size AS VARCHAR)),
+            p_brand || '|' || CAST(p_size AS VARCHAR))) AS t(w)
+        ),
+        counts AS (SELECT id, count(*) AS n FROM m GROUP BY id),
+        cbs AS (
+          SELECT l.id AS left_id, r.id AS right_id, count(*) AS cbs
+          FROM m l JOIN m r ON l.block_key = r.block_key AND l.id < r.id
+          GROUP BY l.id, r.id
+        )
+        SELECT left_id, right_id, cbs,
+               round(CAST(cbs AS DOUBLE) / (lc.n + rc.n - cbs), 6) AS js
+        FROM cbs
+        JOIN counts lc ON cbs.left_id = lc.id
+        JOIN counts rc ON cbs.right_id = rc.id
+    """
+
+    _meta_cnp_sql = f"""
+        WITH w AS ({_meta_weights_sql}),
+        directed AS (
+          SELECT left_id AS node, right_id AS other, js FROM w
+          UNION ALL
+          SELECT right_id AS node, left_id AS other, js FROM w
+        ),
+        keptd AS (
+          SELECT least(node, other) AS left_id, greatest(node, other) AS right_id
+          FROM (
+            SELECT node, other,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY js DESC, other ASC) AS rnk
+            FROM directed
+          )
+          WHERE rnk <= 2
+        ),
+        kept AS (SELECT DISTINCT left_id, right_id FROM keptd)
+        SELECT w.* FROM w JOIN kept USING (left_id, right_id)
+    """
+
     return {
         "q_pair_scores": _pair_scores_sql,
         "q_fs_em": _fs_em_sql(),
+        "q_meta_weights": _meta_weights_sql,
+        "q_meta_cnp": _meta_cnp_sql,
         "q_scan_entities": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000

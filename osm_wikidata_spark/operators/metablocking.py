@@ -1,0 +1,133 @@
+"""Meta-blocking: blocking-graph edge weighting and pruning.
+
+Papadakis et al., "Meta-Blocking: Taking Entity Resolution to the Next
+Level" (TKDE 2013).  Token/attribute blocking over dirty data produces a
+candidate-pair multigraph whose edge multiplicity itself carries signal:
+pairs that co-occur in MANY blocks are far likelier matches than pairs
+sharing one stopword-ish block.  Meta-blocking weights each edge by its
+co-occurrence statistics and prunes low-weight edges *before* the
+expensive pairwise scoring stage — at 10^12 candidate pairs this is the
+difference between scoring everything the blocker emits and scoring an
+O(k·N) subset.
+
+The reference's analog is its hand-tuned skip-tag/hot-key suppression
+(place.py:70-85, implemented in blocking.py); meta-blocking is the
+principled, data-driven generalisation the ER literature standardised on.
+
+Scale shape:
+* Edge weights need ONE self-join on block key (hot blocks capped by the
+  shared :func:`~.dedup.cap_buckets` defence, dropped blocks observable
+  via ``dropped_sink``) + ONE groupBy(left,right) — both shuffles key on
+  compact ids.  Per-entity block counts ride in as a broadcast-eligible
+  dim (bounded by entity count, joined pre-aggregated).
+* WEP's global mean is a 1-row aggregate cross-joined back (broadcast of
+  a scalar — always safe).
+* CNP's per-node top-k is the standard two-direction explode + window
+  rank, the same pattern as blocking.top_k_per_group; ranking happens on
+  *rounded* weights with a deterministic id tiebreak so results are
+  engine- and partitioning-stable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import cap_buckets
+
+
+def block_edge_weights(
+    memberships: DataFrame,
+    id_col: str = "id",
+    block_col: str = "block_key",
+    max_block: int | None = None,
+    dropped_sink: Callable[[DataFrame], None] | None = None,
+    precision: int = 6,
+) -> DataFrame:
+    """Weight every co-occurring pair: CBS and Jaccard block overlap.
+
+    Returns ``(left_id, right_id, cbs, js)`` for every pair sharing ≥1
+    block: ``cbs`` (Common Blocks Scheme) is the number of shared blocks,
+    ``js`` the Jaccard ``cbs / (|B_l| + |B_r| - cbs)`` of the two block
+    sets, rounded to ``precision`` (it feeds pruning thresholds and
+    rankings downstream).  Memberships are set-deduplicated first;
+    per-entity block counts |B_i| are taken PRE-cap (the entity's true
+    blocking footprint), while pair generation respects ``max_block`` so a
+    degenerate mega-block cannot emit quadratic candidates silently —
+    dropped blocks surface through ``dropped_sink``.
+    """
+    m = memberships.select(id_col, block_col).dropDuplicates([id_col, block_col])
+    counts = m.groupBy(id_col).agg(F.count("*").alias("n_blocks"))
+    kept, dropped = cap_buckets(m, [block_col], max_block)
+    if dropped_sink is not None:
+        dropped_sink(dropped)
+    left = kept.select(F.col(id_col).alias("left_id"), block_col)
+    right = kept.select(F.col(id_col).alias("right_id"), block_col)
+    cbs = (
+        left.join(right, block_col)
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("cbs"))
+    )
+    lc = counts.select(F.col(id_col).alias("left_id"), F.col("n_blocks").alias("nl"))
+    rc = counts.select(F.col(id_col).alias("right_id"), F.col("n_blocks").alias("nr"))
+    return (
+        cbs.join(lc, "left_id")
+        .join(rc, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            "cbs",
+            F.round(
+                F.col("cbs").cast("double") / (F.col("nl") + F.col("nr") - F.col("cbs")),
+                precision,
+            ).alias("js"),
+        )
+    )
+
+
+def prune_edges_wep(weights: DataFrame, weight_col: str = "js") -> DataFrame:
+    """Weighted Edge Pruning: keep edges strictly above the global mean
+    weight (Papadakis WEP).  The mean is a single scalar — computed once
+    and cross-joined back as a 1-row broadcast."""
+    mean = weights.agg(F.avg(weight_col).alias("_mean_w"))
+    return (
+        weights.crossJoin(F.broadcast(mean))
+        .filter(F.col(weight_col) > F.col("_mean_w"))
+        .drop("_mean_w")
+    )
+
+
+def prune_edges_cnp(
+    weights: DataFrame, k: int, weight_col: str = "js"
+) -> DataFrame:
+    """Cardinality Node Pruning: keep an edge iff it ranks in EITHER
+    endpoint's top-k by weight (the union variant — redundancy-positive,
+    Papadakis §5.3).  Rank on the rounded weight with ascending-id
+    tiebreak, so the kept set is deterministic across partitionings and
+    engines."""
+    directed = weights.select(
+        F.col("left_id").alias("node"),
+        F.col("right_id").alias("other"),
+        weight_col,
+    ).unionByName(
+        weights.select(
+            F.col("right_id").alias("node"),
+            F.col("left_id").alias("other"),
+            weight_col,
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col(weight_col).desc(), F.col("other").asc()
+    )
+    kept_dir = (
+        directed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.least("node", "other").alias("left_id"),
+            F.greatest("node", "other").alias("right_id"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return weights.join(kept_dir, ["left_id", "right_id"], "leftsemi")
