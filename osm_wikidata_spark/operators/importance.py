@@ -29,6 +29,19 @@ knob is running step 2's raw-corpus counts on a hash sample
 (:func:`~osm_wikidata_spark.operators.sampling.sample_rows`), which
 changes ``p_raw`` estimates, not the machinery.
 
+Measured negative result (round 4, keep for posterity): the raw corpus
+is gram-exploded TWICE (dim counts + scoring) and that is the right
+trade.  A "single-explosion" variant — pre-aggregate
+``(doc_id, bucket, n)``, persist it, derive the dim and the weighted
+score from the cache — benched 1.6× SLOWER at sf0.1/local[32] (20.5 s
+vs 13.1 s): the per-(doc,bucket) pre-aggregation shuffles a
+corpus-sized frame and materialises a corpus-sized cache, while the
+two-scan design shuffles only the ≤4096-row dim plus per-doc partial
+sums (map-side combine collapses each partition to its distinct docs
+before the exchange).  Recompute beats caching corpus-sized
+intermediates — the same reasoning holds at 100 TB, where the cache
+would spill to disk and the shuffle would dominate the job.
+
 No counterpart in the reference repo (curation-side addition mandated
 by the graft brief).
 """
