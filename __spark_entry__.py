@@ -580,6 +580,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weights = block_edge_weights(_part_block_memberships(spark, sf))
         return prune_edges_cnp(weights, k=2)
 
+    def q_idf_overlap(spark, sf):
+        # rarity-weighted token overlap (Cohen et al. 2003 family): idf
+        # dim from the corpus, unhinted vocab join, per-pair agg
+        from osm_wikidata_spark.operators.scoring import (
+            idf_token_overlap,
+            token_idf_dim,
+        )
+
+        idf = token_idf_dim(_t(spark, sf, "part"), text_col="p_name")
+        return idf_token_overlap(_part_name_pairs(spark, sf), idf).select(
+            "left_id", "right_id", "idf_overlap"
+        )
+
     def q_nrhp_shortcut(spark, sf):
         # J3: unique-reference short-circuit (matcher.py:322-345)
         return (
@@ -2060,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fs_em": q_fs_em,
         "q_meta_weights": q_meta_weights,
         "q_meta_cnp": q_meta_cnp,
+        "q_idf_overlap": q_idf_overlap,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         # --- derivative shapes, driver-green in r01-r03 archives,
@@ -2338,11 +2352,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT w.* FROM w JOIN kept USING (left_id, right_id)
     """
 
+    _idf_overlap_sql = """
+        WITH pairs AS (
+          SELECT l.p_partkey AS left_id, r.p_partkey AS right_id,
+                 l.p_name AS ln, r.p_name AS rn
+          FROM part l JOIN part r
+            ON l.p_brand = r.p_brand AND l.p_size = r.p_size
+           AND l.p_partkey < r.p_partkey
+        ),
+        corpus AS (
+          SELECT list_distinct(list_filter(string_split(p_name, ' '),
+                                           x -> x <> '')) AS toks
+          FROM part
+        ),
+        dfreq AS (
+          SELECT w AS token, count(*) AS df
+          FROM corpus, unnest(toks) AS t(w) GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS n_docs FROM part),
+        idf AS (
+          SELECT token, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf
+          FROM dfreq, n
+        ),
+        sides AS (
+          SELECT left_id, right_id,
+                 list_distinct(list_filter(string_split(ln, ' '), x -> x <> '')) AS lt,
+                 list_distinct(list_filter(string_split(rn, ' '), x -> x <> '')) AS rt
+          FROM pairs
+        ),
+        ex AS (
+          SELECT left_id, right_id, u.w AS token,
+                 list_contains(list_intersect(lt, rt), u.w) AS shared
+          FROM sides, unnest(list_distinct(list_cat(lt, rt))) AS u(w)
+        )
+        SELECT left_id, right_id,
+               round(CASE WHEN sum(coalesce(idf, 0.0)) > 0
+                     THEN sum(CASE WHEN shared THEN coalesce(idf, 0.0)
+                              ELSE 0.0 END) / sum(coalesce(idf, 0.0))
+                     ELSE 0.0 END, 6) AS idf_overlap
+        FROM ex LEFT JOIN idf USING (token)
+        GROUP BY left_id, right_id
+    """
+
     return {
         "q_pair_scores": _pair_scores_sql,
         "q_fs_em": _fs_em_sql(),
         "q_meta_weights": _meta_weights_sql,
         "q_meta_cnp": _meta_cnp_sql,
+        "q_idf_overlap": _idf_overlap_sql,
         "q_scan_entities": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000

@@ -154,6 +154,86 @@ def token_set_overlap(
     )
 
 
+def token_idf_dim(
+    docs: DataFrame,
+    text_col: str = "name",
+    sep: str = " ",
+) -> DataFrame:
+    """(token, idf) dictionary from a corpus: smooth inverse document
+    frequency ``idf = ln((N+1)/(df+1)) + 1`` (the sklearn convention —
+    strictly positive, stopwords → ~1, hapaxes → ~ln N).
+
+    One explode + one distinct-doc count; N rides in as a 1-row broadcast.
+    The dim is vocabulary-sized (data-dependent), so downstream joins on
+    it stay UNHINTED — AQE broadcasts real vocabularies (≤ a few hundred
+    MB even web-scale) and falls back if a pathological corpus explodes
+    the token space.
+    """
+    tokens = docs.select(
+        F.explode(
+            F.array_distinct(F.filter(F.split(F.col(text_col), sep), lambda t: t != ""))
+        ).alias("token")
+    )
+    df_counts = tokens.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return df_counts.crossJoin(F.broadcast(n)).select(
+        "token",
+        (
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+
+
+def idf_token_overlap(
+    pairs: DataFrame,
+    idf_dim: DataFrame,
+    left_col: str = "left_name",
+    right_col: str = "right_name",
+    sep: str = " ",
+    precision: int = 6,
+    out_col: str = "idf_overlap",
+    default_idf: float = 0.0,
+) -> DataFrame:
+    """Rarity-weighted token overlap: ``Σ idf(A∩B) / Σ idf(A∪B)``.
+
+    The soft companion of :func:`token_set_overlap` — sharing the token
+    "goldenrod" means far more than sharing "the" (the cheap cousin of
+    soft-TF-IDF; Cohen, Ravikumar & Fienberg 2003's comparison study is
+    the canonical reference for rarity-weighted name scorers).
+    Jaccard-style normalisation over the union keeps it in [0, 1].
+
+    Plan: one |A∪B|-explode per pair (names are short — a handful of rows
+    each), one UNHINTED join onto the vocabulary dim (data-dependent size;
+    AQE broadcasts real vocabularies), one per-pair aggregation (map-side
+    combinable).  Tokens absent from the dim score ``default_idf`` —
+    0.0 by default, i.e. out-of-corpus tokens carry no weight; pass
+    ``ln(N+1)+1`` to treat them as maximally rare instead.  Pairs whose
+    union is empty, or whose union-idf mass is 0, score 0.0.
+    """
+    lt = F.array_distinct(
+        F.filter(F.split(F.col(left_col), sep), lambda t: t != "")
+    )
+    rt = F.array_distinct(
+        F.filter(F.split(F.col(right_col), sep), lambda t: t != "")
+    )
+    exploded = pairs.select(
+        "*",
+        F.array_intersect(lt, rt).alias("_inter"),
+        F.explode_outer(F.array_union(lt, rt)).alias("token"),
+    ).withColumn("_shared", F.array_contains(F.col("_inter"), F.col("token")))
+    joined = exploded.join(idf_dim, "token", "left").withColumn(
+        "_idf", F.coalesce(F.col("idf"), F.lit(float(default_idf)))
+    )
+    num = F.sum(F.when(F.col("_shared"), F.col("_idf")).otherwise(F.lit(0.0)))
+    den = F.sum("_idf")
+    return joined.groupBy(*pairs.columns).agg(
+        F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), precision
+        ).alias(out_col)
+    )
+
+
 def score_name_pairs(
     pairs: DataFrame,
     left_col: str = "left_name",

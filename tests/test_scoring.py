@@ -15,10 +15,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from osm_wikidata_spark.operators.scoring import (
+    idf_token_overlap,
     jaro,
     jaro_winkler,
     levenshtein_ratio,
     score_name_pairs,
+    token_idf_dim,
     token_set_overlap,
 )
 
@@ -142,6 +144,47 @@ def test_token_overlap_set_semantics(spark):
     got = df.select(token_set_overlap("l", "r").alias("s")).collect()
     assert got[0]["s"] == pytest.approx(0.5)  # {x,y} ∩ {x,z} / min(2,2)
     assert got[1]["s"] == 0.0
+
+
+def test_idf_weighted_overlap(spark):
+    import math
+
+    # corpus: "the" in 3 docs, "red"/"lion"/"boar" rarer
+    docs = spark.createDataFrame(
+        [("the red lion",), ("the boar",), ("the red house",)], "name string"
+    )
+    dim = token_idf_dim(docs)
+    idf = {r["token"]: r["idf"] for r in dim.collect()}
+    assert idf["the"] == pytest.approx(math.log(4 / 4) + 1)  # df=3, N=3
+    assert idf["lion"] == pytest.approx(math.log(4 / 2) + 1)
+    pairs = spark.createDataFrame(
+        [
+            (1, "the red lion", "the red house"),  # shares the+red
+            (2, "the lion", "the boar"),           # shares only 'the'
+            (3, "", ""),                            # empty union → 0
+            (4, "zzz", "zzz"),                      # OOV only → default 0
+        ],
+        "pair_id int, left_name string, right_name string",
+    )
+    got = {
+        r["pair_id"]: r["idf_overlap"]
+        for r in idf_token_overlap(pairs, dim).collect()
+    }
+    t, r_, l, h, b = (idf[k] for k in ("the", "red", "lion", "house", "boar"))
+    assert got[1] == pytest.approx(round((t + r_) / (t + r_ + l + h), 6))
+    assert got[2] == pytest.approx(round(t / (t + l + b), 6))
+    # sharing the stopword scores below sharing the rare token pair
+    assert got[2] < got[1]
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+    # max-rarity fallback for OOV tokens is opt-in
+    got_oov = {
+        r["pair_id"]: r["idf_overlap"]
+        for r in idf_token_overlap(
+            pairs, dim, default_idf=math.log(4.0) + 1
+        ).collect()
+    }
+    assert got_oov[4] == 1.0
 
 
 def test_levenshtein_ratio_null_and_empty(spark):
