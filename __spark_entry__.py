@@ -314,6 +314,37 @@ _FS_BANDS = {
 _FS_ITER = 20
 
 
+def _soundex_sql(col: str) -> str:
+    """American Soundex as a pure DuckDB regexp/translate pipeline — an
+    independent re-derivation of Spark's JVM ``soundex`` (h/w-merge
+    variant, non-letter resets, non-letter-initial strings returned
+    unchanged; semantics pinned by probe cases and a differential fuzz in
+    tests/test_scoring.py).  RE2 has no backreferences, so the
+    adjacent-duplicate collapse is six chained single-digit replaces."""
+    # letter→code map with h/w removed first (so codes merge across them)
+    # and non-letters sentinelled to '|' (so they reset adjacency)
+    codes = (
+        "translate(translate(regexp_replace(lower({c}), '[^a-z]', '|', 'g'),"
+        " 'hw', ''),"
+        " 'abcdefgijklmnopqrstuvxyz', '012301202245501262301202')"
+    ).format(c=col)
+    for d in "123456":
+        codes = f"regexp_replace({codes}, '{d}{d}+', '{d}', 'g')"
+    # the first letter's own code participates in adjacency; strip it
+    # after the collapse (h/w first letters contributed nothing)
+    body = (
+        f"CASE WHEN substr(lower({col}), 1, 1) IN ('h', 'w') THEN {codes}"
+        f" ELSE substr({codes}, 2) END"
+    )
+    digits = f"regexp_replace({body}, '[^1-6]', '', 'g')"
+    return (
+        f"CASE WHEN NOT regexp_matches({col}, '^[a-zA-Z]')"
+        f" THEN {col}"
+        f" ELSE upper(substr({col}, 1, 1)) || substr({digits} || '000', 1, 3)"
+        f" END"
+    )
+
+
 # ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -591,6 +622,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idf = token_idf_dim(_t(spark, sf, "part"), text_col="p_name")
         return idf_token_overlap(_part_name_pairs(spark, sf), idf).select(
             "left_id", "right_id", "idf_overlap"
+        )
+
+    def q_soundex_blocks(spark, sf):
+        # phonetic blocking channel (Newcombe 1959): distinct
+        # (id, soundex) memberships, all-JVM codegen
+        from osm_wikidata_spark.operators.blocking import soundex_block_keys
+
+        return soundex_block_keys(
+            _t(spark, sf, "part"), id_col="p_partkey", text_col="p_name"
         )
 
     def q_nrhp_shortcut(spark, sf):
@@ -2074,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_meta_weights": q_meta_weights,
         "q_meta_cnp": q_meta_cnp,
         "q_idf_overlap": q_idf_overlap,
+        "q_soundex_blocks": q_soundex_blocks,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         # --- derivative shapes, driver-green in r01-r03 archives,
@@ -2400,6 +2441,15 @@ def oracle_sql() -> dict[str, str]:
         "q_meta_weights": _meta_weights_sql,
         "q_meta_cnp": _meta_cnp_sql,
         "q_idf_overlap": _idf_overlap_sql,
+        "q_soundex_blocks": f"""
+            SELECT DISTINCT p_partkey AS id, {_soundex_sql('word')} AS code
+            FROM (
+              SELECT p_partkey, w AS word
+              FROM part, unnest(string_split(p_name, ' ')) AS t(w)
+              WHERE w <> ''
+            )
+            WHERE {_soundex_sql('word')} <> ''
+        """,
         "q_scan_entities": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000

@@ -125,3 +125,35 @@ def top_k_per_group(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def soundex_block_keys(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "name",
+    sep: str = " ",
+) -> DataFrame:
+    """Phonetic blocking memberships: one (id, code) row per distinct
+    American-Soundex code of the record's name words.
+
+    The classic spelling-robust blocking channel (Newcombe 1959 onward):
+    "Smith"/"Smyth" → S530, so typo variants land in the same block
+    without any pairwise work.  Uses Spark's built-in ``soundex`` — pure
+    JVM, whole-stage codegen, h/w-merge variant with non-letter resets
+    (semantics pinned by a differential fuzz against an independent
+    DuckDB regexp/translate re-derivation, tests/test_scoring.py).
+
+    Empty/blank words produce empty codes and are dropped; compose with
+    :func:`build_blocks`-style caps downstream (common codes are the
+    phonetic analog of stopword mega-blocks).
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), sep)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .select("id", F.soundex("word").alias("code"))
+        .filter(F.col("code") != "")
+        .dropDuplicates(["id", "code"])
+    )

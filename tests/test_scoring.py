@@ -187,6 +187,43 @@ def test_idf_weighted_overlap(spark):
     assert got_oov[4] == 1.0
 
 
+def test_soundex_differential_fuzz(spark):
+    """Spark's JVM soundex vs the independent DuckDB regexp/translate
+    re-derivation (__spark_entry__._soundex_sql) — the q_soundex_blocks
+    oracle depends on this parity.  Domain: ASCII words with digits and
+    punctuation mixed in (non-ASCII-initial strings pass through
+    unchanged in both engines by construction)."""
+    import __spark_entry__ as entry
+
+    rng = random.Random(99)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    cases = [
+        "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+        "Honeyman", "a", "h", "wh", "whbb", "hbb", "bhb", "bwb", "b1b",
+        "ab1b", "ab'b", "abhb", "abeb", "zzyzx", "pneumonia", "Hubble",
+        "white", "McDonald", "o'brien", "bb", "bpfv", "lloyd", "gauss",
+    ]
+    for _ in range(3000):
+        n = rng.randint(1, 12)
+        chars = alpha + ("'1-2 " if rng.random() < 0.4 else "")
+        cases.append("".join(rng.choice(chars) for _ in range(n)))
+    df = spark.createDataFrame([(c,) for c in cases], "word string")
+    spark_out = [
+        r["s"] for r in df.select(F.soundex("word").alias("s")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE words(word VARCHAR)")
+    con.executemany("INSERT INTO words VALUES (?)", [(c,) for c in cases])
+    duck_out = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {entry._soundex_sql('word')} FROM words"
+        ).fetchall()
+    ]
+    for w, s_spark, s_duck in zip(cases, spark_out, duck_out):
+        assert s_spark == s_duck, (w, s_spark, s_duck)
+
+
 def test_levenshtein_ratio_null_and_empty(spark):
     df = spark.createDataFrame(
         [("", ""), (None, "abc"), ("abc", "abd")], "l string, r string"
