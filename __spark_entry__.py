@@ -624,6 +624,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "left_id", "right_id", "idf_overlap"
         )
 
+    def q_cluster_eval(spark, sf):
+        # distributed ER evaluation: pairwise P/R/F1 + B-cubed from
+        # contingency cells — never materialises intra-cluster pairs.
+        # Assignment under test: exact-dup canonical groups (predicted)
+        # vs source labels (truth) over the derived-duplicates corpus.
+        from osm_wikidata_spark.operators.evaluation import (
+            pairwise_cluster_metrics,
+        )
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text", "source")
+        dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+        )
+        corpus = docs.unionByName(dups)
+        # duplicate_mapping covers only groups >1; singletons are their own
+        # predicted cluster (coalesce to the doc's id)
+        mapping = dedup.duplicate_mapping(corpus)
+        assigns = (
+            corpus.select("doc_id", "source")
+            .join(mapping.select("doc_id", "canonical_id"), "doc_id", "left")
+            .select(
+                F.coalesce("canonical_id", "doc_id").alias("component"),
+                F.col("source").alias("truth"),
+            )
+        )
+        return pairwise_cluster_metrics(assigns)
+
+    def q_golden_record(spark, sf):
+        # survivorship: per-cluster golden record under per-attribute
+        # rules (mode / longest / max / min), deterministic tie-breaks
+        from osm_wikidata_spark.operators.survivorship import golden_records
+
+        return golden_records(
+            _t(spark, sf, "customer"),
+            "c_nationkey",
+            {
+                "c_mktsegment": "mode",
+                "c_name": "longest",
+                "c_acctbal": "max",
+                "c_custkey": "min",
+            },
+        )
+
     def q_soundex_blocks(spark, sf):
         # phonetic blocking channel (Newcombe 1959): distinct
         # (id, soundex) memberships, all-JVM codegen
@@ -2115,6 +2158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_meta_cnp": q_meta_cnp,
         "q_idf_overlap": q_idf_overlap,
         "q_soundex_blocks": q_soundex_blocks,
+        "q_cluster_eval": q_cluster_eval,
+        "q_golden_record": q_golden_record,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         # --- derivative shapes, driver-green in r01-r03 archives,
@@ -2449,6 +2494,83 @@ def oracle_sql() -> dict[str, str]:
               WHERE w <> ''
             )
             WHERE {_soundex_sql('word')} <> ''
+        """,
+        "q_cluster_eval": r"""
+            WITH corpus AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text, source FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            fp AS (
+              SELECT doc_id, source,
+                     md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+              FROM corpus
+            ),
+            assign AS (
+              SELECT min(doc_id) OVER (PARTITION BY fingerprint) AS component,
+                     source AS truth
+              FROM fp
+            ),
+            cells AS (
+              SELECT component, truth, count(*) AS n_cell
+              FROM assign GROUP BY component, truth
+            ),
+            predsz AS (SELECT component, sum(n_cell) AS n_pred FROM cells GROUP BY 1),
+            truesz AS (SELECT truth, sum(n_cell) AS n_true FROM cells GROUP BY 1),
+            base AS (
+              SELECT CAST(sum(n_cell) AS BIGINT) AS n_items,
+                     CAST(sum((n_cell * (n_cell - 1)) // 2) AS BIGINT) AS tp,
+                     sum(CAST(n_cell AS DOUBLE) * n_cell / n_pred) AS b3p_num,
+                     sum(CAST(n_cell AS DOUBLE) * n_cell / n_true) AS b3r_num
+              FROM cells JOIN predsz USING (component) JOIN truesz USING (truth)
+            ),
+            pp AS (SELECT CAST(sum((n_pred * (n_pred - 1)) // 2) AS BIGINT)
+                          AS pred_pairs FROM predsz),
+            tt AS (SELECT CAST(sum((n_true * (n_true - 1)) // 2) AS BIGINT)
+                          AS true_pairs FROM truesz),
+            pr AS (
+              SELECT n_items, tp,
+                     pred_pairs - tp AS fp, true_pairs - tp AS fn,
+                     CASE WHEN pred_pairs > 0
+                          THEN CAST(tp AS DOUBLE) / pred_pairs ELSE 0.0 END AS p,
+                     CASE WHEN true_pairs > 0
+                          THEN CAST(tp AS DOUBLE) / true_pairs ELSE 0.0 END AS r,
+                     b3p_num / n_items AS b3p,
+                     b3r_num / n_items AS b3r
+              FROM base, pp, tt
+            )
+            SELECT n_items, tp, fp, fn,
+                   round(p, 6) AS precision, round(r, 6) AS recall,
+                   round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                         ELSE 0.0 END, 6) AS f1,
+                   round(b3p, 6) AS b3_precision, round(b3r, 6) AS b3_recall,
+                   round(CASE WHEN b3p + b3r > 0 THEN 2 * b3p * b3r / (b3p + b3r)
+                         ELSE 0.0 END, 6) AS b3_f1
+            FROM pr
+        """,
+        "q_golden_record": """
+            WITH base AS (
+              SELECT c_nationkey,
+                     CAST(count(*) AS BIGINT) AS n_records,
+                     max(struct_pack(l := length(c_name), v := c_name)).v AS c_name,
+                     max(c_acctbal) AS c_acctbal,
+                     min(c_custkey) AS c_custkey
+              FROM customer GROUP BY c_nationkey
+            ),
+            seg_counts AS (
+              SELECT c_nationkey, c_mktsegment, count(*) AS n
+              FROM customer WHERE c_mktsegment IS NOT NULL
+              GROUP BY c_nationkey, c_mktsegment
+            ),
+            seg AS (
+              SELECT c_nationkey,
+                     min(struct_pack(neg := -n, v := c_mktsegment)).v AS c_mktsegment
+              FROM seg_counts GROUP BY c_nationkey
+            )
+            SELECT base.c_nationkey, n_records, c_mktsegment, c_name,
+                   c_acctbal, c_custkey
+            FROM base LEFT JOIN seg USING (c_nationkey)
         """,
         "q_scan_entities": """
             SELECT c_custkey, c_name FROM customer

@@ -1,0 +1,101 @@
+"""Clustering-quality evaluation for entity resolution.
+
+The repo's F1 gate (tests/test_pipeline.py, BASELINE.json pairwise
+F1 ≥ 0.99) computes pairwise scores on fixture-scale data.  This module is
+the DISTRIBUTED evaluator: pairwise precision/recall/F1 and B³ (Bagga &
+Baldwin 1998) over a predicted-vs-true assignment table, computed entirely
+from contingency-cell counts — at 10^9 nodes the naive "materialise all
+intra-cluster pairs and join" is O(Σ n²) rows, while every quantity below
+comes from aggregations over the assignment table:
+
+* pairs(X)       = Σ_clusters n(n−1)/2          (exact bigint)
+* TP             = Σ_{(pred,true) cells} n_cell(n_cell−1)/2
+* FP / FN        = pairs(pred) − TP / pairs(true) − TP
+* B³ precision   = Σ_cells n_cell² / n_pred(cell) ÷ N
+* B³ recall      = Σ_cells n_cell² / n_true(cell) ÷ N
+
+(The B³ identities: an item i in predicted cluster c with true class t
+contributes |c ∩ t|/|c| to precision — summing per cell gives n_ct²/n_c.)
+
+The contingency table is bounded by the number of (pred, true) cluster
+overlaps — in ER practice ~O(#clusters), never O(pairs); the size dims are
+rollups of it, and the final combine is three 1-row broadcasts.  One
+shuffle on (pred, true) total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pairwise_cluster_metrics(
+    assignments: DataFrame,
+    pred_col: str = "component",
+    true_col: str = "truth",
+    precision: int = 6,
+) -> DataFrame:
+    """One-row frame: n_items, tp, fp, fn, precision, recall, f1,
+    b3_precision, b3_recall, b3_f1.
+
+    ``assignments`` has one row per item with its predicted cluster and
+    true class (any orderable types).  A side with no positive pairs
+    defines its ratio as 0.0 (convention shared with the SQL oracle).
+    """
+    cells = assignments.groupBy(pred_col, true_col).agg(
+        F.count("*").alias("n_cell")
+    )
+    pred_sizes = cells.groupBy(pred_col).agg(F.sum("n_cell").alias("n_pred"))
+    true_sizes = cells.groupBy(true_col).agg(F.sum("n_cell").alias("n_true"))
+
+    base = (
+        cells.join(pred_sizes, pred_col)
+        .join(true_sizes, true_col)
+        .agg(
+            F.sum("n_cell").alias("n_items"),
+            F.sum(F.expr("(n_cell * (n_cell - 1)) div 2")).alias("tp"),
+            F.sum(
+                F.col("n_cell").cast("double") * F.col("n_cell") / F.col("n_pred")
+            ).alias("b3p_num"),
+            F.sum(
+                F.col("n_cell").cast("double") * F.col("n_cell") / F.col("n_true")
+            ).alias("b3r_num"),
+        )
+    )
+    pred_pairs = pred_sizes.agg(
+        F.sum(F.expr("(n_pred * (n_pred - 1)) div 2")).alias("pred_pairs")
+    )
+    true_pairs = true_sizes.agg(
+        F.sum(F.expr("(n_true * (n_true - 1)) div 2")).alias("true_pairs")
+    )
+    stats = base.crossJoin(F.broadcast(pred_pairs)).crossJoin(
+        F.broadcast(true_pairs)
+    )
+
+    def _ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    def _f1(p, r):
+        return F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+
+    with_pr = stats.select(
+        "n_items",
+        "tp",
+        (F.col("pred_pairs") - F.col("tp")).alias("fp"),
+        (F.col("true_pairs") - F.col("tp")).alias("fn"),
+        _ratio(F.col("tp"), F.col("pred_pairs")).alias("p"),
+        _ratio(F.col("tp"), F.col("true_pairs")).alias("r"),
+        (F.col("b3p_num") / F.col("n_items")).alias("b3p"),
+        (F.col("b3r_num") / F.col("n_items")).alias("b3r"),
+    )
+    return with_pr.select(
+        "n_items",
+        "tp",
+        "fp",
+        "fn",
+        F.round("p", precision).alias("precision"),
+        F.round("r", precision).alias("recall"),
+        F.round(_f1(F.col("p"), F.col("r")), precision).alias("f1"),
+        F.round("b3p", precision).alias("b3_precision"),
+        F.round("b3r", precision).alias("b3_recall"),
+        F.round(_f1(F.col("b3p"), F.col("b3r")), precision).alias("b3_f1"),
+    )

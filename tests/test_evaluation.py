@@ -1,0 +1,82 @@
+"""Distributed clustering evaluation (operators/evaluation.py) —
+hand-computed contingency cases; the metric math must match the naive
+all-pairs definition without ever materialising pairs."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+from osm_wikidata_spark.operators.evaluation import pairwise_cluster_metrics
+
+
+def _naive(assigns):
+    """All-pairs reference implementation."""
+    tp = fp = fn = 0
+    for (p1, t1), (p2, t2) in combinations(assigns, 2):
+        same_p, same_t = p1 == p2, t1 == t2
+        tp += same_p and same_t
+        fp += same_p and not same_t
+        fn += same_t and not same_p
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    # B-cubed
+    n = len(assigns)
+    b3p = sum(
+        sum(1 for q in assigns if q == a) /
+        sum(1 for q in assigns if q[0] == a[0])
+        for a in assigns
+    ) / n
+    b3r = sum(
+        sum(1 for q in assigns if q == a) /
+        sum(1 for q in assigns if q[1] == a[1])
+        for a in assigns
+    ) / n
+    b3f = 2 * b3p * b3r / (b3p + b3r) if b3p + b3r else 0.0
+    return dict(tp=tp, fp=fp, fn=fn, precision=prec, recall=rec, f1=f1,
+                b3_precision=b3p, b3_recall=b3r, b3_f1=b3f)
+
+
+def _run(spark, assigns):
+    df = spark.createDataFrame(assigns, "component string, truth string")
+    return pairwise_cluster_metrics(df).first()
+
+
+@pytest.mark.parametrize(
+    "assigns",
+    [
+        # split truth cluster + merged pair + singleton
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"), ("c", "z")],
+        # perfect clustering
+        [("a", "x"), ("a", "x"), ("b", "y")],
+        # everything merged into one predicted cluster
+        [("a", "x"), ("a", "y"), ("a", "z")],
+        # everything singleton vs one truth class
+        [("a", "x"), ("b", "x"), ("c", "x")],
+    ],
+)
+def test_matches_naive_all_pairs(spark, assigns):
+    got = _run(spark, assigns)
+    want = _naive(assigns)
+    assert got["n_items"] == len(assigns)
+    for k in ("tp", "fp", "fn"):
+        assert got[k] == want[k], k
+    for k in ("precision", "recall", "f1", "b3_precision", "b3_recall", "b3_f1"):
+        assert got[k] == pytest.approx(want[k], abs=1e-6), k
+
+
+def test_perfect_clustering_is_all_ones(spark):
+    got = _run(spark, [("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")])
+    assert (got["precision"], got["recall"], got["f1"]) == (1.0, 1.0, 1.0)
+    assert (got["b3_precision"], got["b3_recall"], got["b3_f1"]) == (1.0, 1.0, 1.0)
+    assert got["fp"] == got["fn"] == 0
+
+
+def test_no_positive_pairs_defined_as_zero(spark):
+    # all singletons on both sides: no pairs anywhere → ratios 0.0, B³ 1.0
+    got = _run(spark, [("a", "x"), ("b", "y"), ("c", "z")])
+    assert got["tp"] == got["fp"] == got["fn"] == 0
+    assert got["precision"] == got["recall"] == got["f1"] == 0.0
+    assert got["b3_precision"] == got["b3_recall"] == got["b3_f1"] == 1.0
