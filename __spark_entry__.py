@@ -609,7 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         weights = block_edge_weights(_part_block_memberships(spark, sf))
-        return prune_edges_cnp(weights, k=2)
+        return prune_edges_cnp(weights, k=2, persist=True)
 
     def q_idf_overlap(spark, sf):
         # rarity-weighted token overlap (Cohen et al. 2003 family): idf
@@ -650,6 +650,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         return pairwise_cluster_metrics(assigns)
+
+    def q_cluster_thresholds(spark, sf):
+        # Splink-style threshold ladder: CC at several score cutoffs over
+        # the meta-blocking weight graph, fixed node universe
+        from osm_wikidata_spark.operators.components import (
+            components_at_thresholds,
+        )
+        from osm_wikidata_spark.operators.metablocking import block_edge_weights
+
+        weights = block_edge_weights(_part_block_memberships(spark, sf))
+        return components_at_thresholds(weights, [0.4, 0.9], weight_col="js")
 
     def q_golden_record(spark, sf):
         # survivorship: per-cluster golden record under per-attribute
@@ -2160,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_soundex_blocks": q_soundex_blocks,
         "q_cluster_eval": q_cluster_eval,
         "q_golden_record": q_golden_record,
+        "q_cluster_thresholds": q_cluster_thresholds,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         # --- derivative shapes, driver-green in r01-r03 archives,
@@ -2480,12 +2492,49 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY left_id, right_id
     """
 
+    def _cluster_thresholds_sql(thresholds: list[float]) -> str:
+        """Per-threshold undirected-closure CC over the meta-blocking
+        weight graph — the q_dedup_fuzzy_clusters recursive-CTE pattern,
+        once per ladder step, with a FIXED node universe so singletons
+        appear at every threshold."""
+        ctes, selects = [], []
+        for i, t in enumerate(thresholds):
+            ctes.append(
+                f"""edges{i} AS (
+              SELECT left_id AS u, right_id AS v FROM w WHERE js >= {t!r}
+            ),
+            bidir{i} AS (SELECT u, v FROM edges{i} UNION SELECT v, u FROM edges{i}),
+            reach{i} AS (
+              SELECT node, node AS cur FROM nodes
+              UNION
+              SELECT r.node, b.v FROM reach{i} r JOIN bidir{i} b ON b.u = r.cur
+            ),
+            comp{i} AS (
+              SELECT CAST({t!r} AS DOUBLE) AS threshold, node,
+                     min(cur) AS component
+              FROM reach{i} GROUP BY node
+            )"""
+            )
+            selects.append(f"SELECT threshold, node, component FROM comp{i}")
+        return (
+            f"WITH RECURSIVE w AS ({_meta_weights_sql}),\n"
+            "            nodes AS (\n"
+            "              SELECT DISTINCT left_id AS node FROM w\n"
+            "              UNION\n"
+            "              SELECT DISTINCT right_id AS node FROM w\n"
+            "            ),\n            "
+            + ",\n            ".join(ctes)
+            + "\n            "
+            + "\n            UNION ALL\n            ".join(selects)
+        )
+
     return {
         "q_pair_scores": _pair_scores_sql,
         "q_fs_em": _fs_em_sql(),
         "q_meta_weights": _meta_weights_sql,
         "q_meta_cnp": _meta_cnp_sql,
         "q_idf_overlap": _idf_overlap_sql,
+        "q_cluster_thresholds": _cluster_thresholds_sql([0.4, 0.9]),
         "q_soundex_blocks": f"""
             SELECT DISTINCT p_partkey AS id, {_soundex_sql('word')} AS code
             FROM (

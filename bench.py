@@ -73,6 +73,11 @@ HEADLINE = [
     # round 4: north-star scoring trio + Fellegi-Sunter EM fit
     "q_pair_scores",
     "q_fs_em",
+    # round 4: meta-blocking (1M-edge weight graph + CNP prune),
+    # idf scorer, distributed cluster evaluation
+    "q_meta_cnp",
+    "q_idf_overlap",
+    "q_cluster_eval",
 ]
 
 

@@ -176,3 +176,56 @@ def incremental_components(
         .select("node", "component")
     )
     return updated.unionByName(fresh)
+
+
+def components_at_thresholds(
+    edges: DataFrame,
+    thresholds: list[float],
+    weight_col: str = "weight",
+    src: str = "left_id",
+    dst: str = "right_id",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Cluster assignments at several score thresholds in one frame:
+    ``(threshold, node, component)`` — the Splink-style hierarchy view
+    that lets an analyst pick the linkage operating point by inspecting
+    how clusters merge as the threshold drops.
+
+    Node universe is FIXED across thresholds (every endpoint of the input
+    edge set), so rows per threshold are comparable: a node whose edges
+    all fall below a threshold appears as its own singleton component.
+
+    Scale shape: one CC run per threshold over the filtered edge set —
+    thresholds are few (an analyst's ladder, not a sweep), CC rounds
+    dominate, and the runs are independent (a scheduler can execute them
+    concurrently).  Monotonicity (clusters only merge as the threshold
+    drops) is a model property, pinned by tests rather than exploited for
+    incremental reuse — at 10^12 edges the simple per-threshold run
+    re-reads the edge set, which is cheaper than materialising the
+    merge-tree state between levels.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    out = None
+    for t in thresholds:
+        cc = connected_components(
+            edges.filter(F.col(weight_col) >= t).select(src, dst),
+            src,
+            dst,
+            max_iterations=max_iterations,
+        )
+        full = (
+            nodes.join(cc, "node", "left")
+            .select(
+                F.lit(float(t)).alias("threshold"),
+                "node",
+                F.coalesce("component", "node").alias("component"),
+            )
+        )
+        out = full if out is None else out.unionByName(full)
+    return out

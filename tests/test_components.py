@@ -112,3 +112,43 @@ def test_incremental_merges_two_old_components(spark):
     assert got == {
         "a": "a", "b": "a", "c": "a", "x": "a", "y": "a", "p": "p", "q": "p"
     }
+
+
+def test_components_at_thresholds_ladder(spark):
+    from pyspark.sql import functions as F
+
+    from osm_wikidata_spark.operators.components import components_at_thresholds
+
+    # chain a-b-c with weights 0.9, 0.5; d isolated via a weak 0.1 edge
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.5), (3, 4, 0.1)],
+        "left_id bigint, right_id bigint, weight double",
+    )
+    out = components_at_thresholds(edges, [0.95, 0.5, 0.05])
+    by_t = {}
+    for r in out.collect():
+        by_t.setdefault(r["threshold"], {})[r["node"]] = r["component"]
+    # fixed node universe at every threshold
+    assert all(set(m) == {1, 2, 3, 4} for m in by_t.values())
+    # 0.95: nothing survives → all singletons
+    assert by_t[0.95] == {1: 1, 2: 2, 3: 3, 4: 4}
+    # 0.5: {1,2,3} merge, 4 singleton
+    assert by_t[0.5] == {1: 1, 2: 1, 3: 1, 4: 4}
+    # 0.05: everything merges
+    assert by_t[0.05] == {1: 1, 2: 1, 3: 1, 4: 1}
+    # monotone refinement: clusters only merge as the threshold drops
+    for hi, lo in ((0.95, 0.5), (0.5, 0.05)):
+        for a in (1, 2, 3, 4):
+            for b in (1, 2, 3, 4):
+                if by_t[hi][a] == by_t[hi][b]:
+                    assert by_t[lo][a] == by_t[lo][b]
+
+
+def test_components_at_thresholds_rejects_empty(spark):
+    import pytest as _pytest
+
+    from osm_wikidata_spark.operators.components import components_at_thresholds
+
+    edges = spark.createDataFrame([(1, 2, 0.5)], "left_id long, right_id long, weight double")
+    with _pytest.raises(ValueError):
+        components_at_thresholds(edges, [])

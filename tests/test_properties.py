@@ -61,3 +61,31 @@ def test_endings_copy_no_cross_call_state(name, endings):
     snapshot = set(endings)
     match_names(name + " church", name, endings)
     assert endings == snapshot
+
+
+# ---- continuous scoring kernels (operators/scoring.py) ----
+
+_SHORT = st.text(alphabet="abcdefgh '", max_size=14)
+
+
+@given(_SHORT, _SHORT)
+@settings(max_examples=400, deadline=None)
+def test_jaro_winkler_symmetric_and_bounded(a, b):
+    from osm_wikidata_spark.operators.scoring import jaro, jaro_winkler
+
+    jw, j = jaro_winkler(a, b), jaro(a, b)
+    assert jaro_winkler(b, a) == jw  # symmetry
+    assert 0.0 <= j <= 1.0 and 0.0 <= jw <= 1.0
+    assert jw >= j  # Winkler boost never lowers Jaro
+    if a and a == b:
+        assert jw == 1.0  # reflexive on non-empty strings
+
+
+@given(_SHORT)
+@settings(max_examples=200, deadline=None)
+def test_jaro_empty_conventions(a):
+    from osm_wikidata_spark.operators.scoring import jaro
+
+    # the DuckDB/RapidFuzz convention: anything vs empty is 0, even ''
+    assert jaro(a, "") == 0.0
+    assert jaro("", a) == 0.0
