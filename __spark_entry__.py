@@ -2109,10 +2109,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hold exactly the first 50 registry keys).  The first 50 below are the
     # queries that most need a driver-archived row: the 14 that shipped in
     # rounds 2-3 without one (G/V family, S8/S9/S12, media ops — replica-
-    # green twice but never driver-recorded), the 22 round-4 additions, and
-    # 14 marquee operator/bench queries.  The tail 39 are derivative shapes
-    # whose operators stay covered by other green rows and which already
-    # carry driver-green rows in the CORRECTNESS_r01-r03 archives.
+    # green twice but never driver-recorded), 23 round-4 additions, and 13
+    # marquee operator/bench queries (incl. q_dedup_minhash/simhash, whose
+    # VALUES oracles are new this round and upgrade them from rows-only).
+    # The tail is derivative shapes whose operators stay covered by other
+    # in-window rows (q_pii_stats by q_pii_redact, q_session_stats by
+    # q_sessionize, q_vocab_topk by q_lm_perplexity, q_dsir_weights by
+    # q_dsir_select, q_sample_documents/q_stratified_take by
+    # q_sample_weighted + q_sample_pairs_stratified, q_render_conversations
+    # by q_conversation_qa) or which already carry driver-green rows in the
+    # CORRECTNESS_r01-r03 archives.
     return {
         # --- never driver-recorded (r02/r03 additions) ---
         "q_reject_reasons": q_reject_reasons,
@@ -2133,11 +2139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
         "q_dedup_embed_clusters": q_dedup_embed_clusters,
         "q_bpe_token_count": q_bpe_token_count,
-        "q_sample_documents": q_sample_documents,
         "q_sample_pairs_stratified": q_sample_pairs_stratified,
         "q_decontaminate": q_decontaminate,
         "q_repetition_stats": q_repetition_stats,
-        "q_pii_stats": q_pii_stats,
         "q_pii_redact": q_pii_redact,
         "q_sample_weighted": q_sample_weighted,
         "q_pack_sequences": q_pack_sequences,
@@ -2145,19 +2149,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_sample": q_mixture_sample,
         "q_line_dedup": q_line_dedup,
         "q_c4_filters": q_c4_filters,
-        "q_render_conversations": q_render_conversations,
         "q_conversation_qa": q_conversation_qa,
         "q_canned_turns": q_canned_turns,
         "q_sessionize": q_sessionize,
-        "q_session_stats": q_session_stats,
         "q_assign_splits": q_assign_splits,
         "q_curation_pipeline": q_curation_pipeline,
         "q_lm_perplexity": q_lm_perplexity,
-        "q_vocab_topk": q_vocab_topk,
         "q_assign_shards": q_assign_shards,
-        "q_stratified_take": q_stratified_take,
         "q_semdedup": q_semdedup,
-        "q_dsir_weights": q_dsir_weights,
         "q_dsir_select": q_dsir_select,
         "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
         # --- marquee operators / bench headliners ---
@@ -2175,7 +2174,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         # --- derivative shapes, driver-green in r01-r03 archives,
-        #     or rows-only (q_er_pipeline, q_multimodal_features) ---
+        #     operator-covered by in-window siblings (first 7), or
+        #     rows-only (q_er_pipeline, q_multimodal_features) ---
+        "q_pii_stats": q_pii_stats,
+        "q_session_stats": q_session_stats,
+        "q_vocab_topk": q_vocab_topk,
+        "q_dsir_weights": q_dsir_weights,
+        "q_sample_documents": q_sample_documents,
+        "q_stratified_take": q_stratified_take,
+        "q_render_conversations": q_render_conversations,
         "q_er_pipeline": q_er_pipeline,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_name_match": q_name_match,
