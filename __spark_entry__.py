@@ -687,6 +687,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "part"), id_col="p_partkey", text_col="p_name"
         )
 
+    def q_snm_pairs(spark, sf):
+        # sorted-neighborhood blocking (Hernández-Stolfo SIGMOD'95):
+        # distributed global rank (range partition + within-partition
+        # row_number + offset dim — no single-partition window), then a
+        # skew-free equi-join on the dense rank; N*(w-1) candidate budget
+        from osm_wikidata_spark.operators.neighborhood import (
+            sorted_neighborhood_pairs,
+        )
+
+        return sorted_neighborhood_pairs(
+            _t(spark, sf, "part"), "p_partkey", "p_name", window=4
+        )
+
+    def q_blocking_metrics(spark, sf):
+        # blocking-scheme quality triple (Christen 2012 §7.6): pair
+        # completeness / pair quality / reduction ratio of the SNM channel
+        # against a first-name-word truth set — two distincts + one join
+        from osm_wikidata_spark.operators.evaluation import blocking_metrics
+        from osm_wikidata_spark.operators.neighborhood import (
+            sorted_neighborhood_pairs,
+        )
+
+        part = _t(spark, sf, "part")
+        cand = sorted_neighborhood_pairs(
+            part, "p_partkey", "p_name", window=4
+        ).select("left_id", "right_id")
+        fw = F.split(F.col("p_name"), " ")[0]
+        lhs = part.select(F.col("p_partkey").alias("left_id"), fw.alias("fw"))
+        rhs = part.select(F.col("p_partkey").alias("right_id"), fw.alias("fw"))
+        truth = (
+            lhs.join(rhs, "fw")
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select("left_id", "right_id")
+        )
+        return blocking_metrics(cand, truth, n_records=part.count())
+
+    def q_fs_decisions(spark, sf):
+        # Fellegi-Sunter three-way decision rule (JASA 1969 §3): link /
+        # possible / non-link band counts over scored pairs — pure CASE,
+        # no shuffle beyond the final count
+        from osm_wikidata_spark.operators.linkage import fs_decisions
+        from osm_wikidata_spark.operators.scoring import score_name_pairs
+
+        scored = score_name_pairs(_part_name_pairs(spark, sf))
+        return (
+            fs_decisions(scored, lower=0.45, upper=0.75, weight_col="lev_ratio")
+            .groupBy("decision")
+            .agg(F.count("*").alias("n_pairs"))
+        )
+
+    def q_review_pairs(spark, sf):
+        # active-learning uncertainty sampling: the 25 possible-link pairs
+        # closest to the decision midpoint, global top-k via
+        # TakeOrderedAndProject (per-partition top-k + k-row driver merge)
+        from osm_wikidata_spark.operators.linkage import select_review_pairs
+        from osm_wikidata_spark.operators.scoring import score_name_pairs
+
+        scored = score_name_pairs(_part_name_pairs(spark, sf))
+        # mid pinned to the literal 0.6: the computed (0.45+0.75)/2 sits
+        # 1 ulp away from the SQL literal and would skew the uncertainty
+        return select_review_pairs(
+            scored, k=25, weight_col="lev_ratio", lower=0.45, upper=0.75, mid=0.6
+        ).select("left_id", "right_id", "lev_ratio", "uncertainty")
+
     def q_nrhp_shortcut(spark, sf):
         # J3: unique-reference short-circuit (matcher.py:322-345)
         return (
@@ -2176,6 +2240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- derivative shapes, driver-green in r01-r03 archives,
         #     operator-covered by in-window siblings (first 7), or
         #     rows-only (q_er_pipeline, q_multimodal_features) ---
+        "q_snm_pairs": q_snm_pairs,
+        "q_blocking_metrics": q_blocking_metrics,
+        "q_fs_decisions": q_fs_decisions,
+        "q_review_pairs": q_review_pairs,
         "q_pii_stats": q_pii_stats,
         "q_session_stats": q_session_stats,
         "q_vocab_topk": q_vocab_topk,
@@ -2535,7 +2603,82 @@ def oracle_sql() -> dict[str, str]:
             + "\n            UNION ALL\n            ".join(selects)
         )
 
+    # sorted-neighborhood: global (p_name, p_partkey) rank, pairs within
+    # the width-4 window.  NULLS FIRST pins DuckDB to Spark's ASC default.
+    _snm_ranked_sql = """
+        SELECT p_partkey AS id,
+               row_number() OVER (ORDER BY p_name NULLS FIRST,
+                                           p_partkey NULLS FIRST) - 1 AS rnk
+        FROM part
+    """
+    _snm_pairs_sql = f"""
+        WITH ranked AS ({_snm_ranked_sql})
+        SELECT a.id AS left_id, b.id AS right_id,
+               CAST(b.rnk - a.rnk AS INT) AS rank_gap
+        FROM ranked a JOIN ranked b
+          ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+    """
+    _blocking_metrics_sql = f"""
+        WITH ranked AS ({_snm_ranked_sql}),
+        cand AS (
+          SELECT DISTINCT least(a.id, b.id) AS pa, greatest(a.id, b.id) AS pb
+          FROM ranked a JOIN ranked b
+            ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+        ),
+        tru AS (
+          SELECT DISTINCT least(l.p_partkey, r.p_partkey) AS pa,
+                 greatest(l.p_partkey, r.p_partkey) AS pb
+          FROM part l JOIN part r
+            ON string_split(l.p_name, ' ')[1] = string_split(r.p_name, ' ')[1]
+           AND l.p_partkey < r.p_partkey
+        ),
+        c AS (SELECT count(*) AS n_candidates FROM cand),
+        t AS (SELECT count(*) AS n_truth FROM tru),
+        h AS (SELECT count(*) AS n_matched FROM cand JOIN tru USING (pa, pb)),
+        nr AS (SELECT count(*) AS n FROM part)
+        SELECT n_candidates, n_truth, n_matched,
+          round(CASE WHEN n_truth > 0
+                THEN CAST(n_matched AS DOUBLE) / n_truth
+                ELSE 0.0 END, 6) AS pair_completeness,
+          round(CASE WHEN n_candidates > 0
+                THEN CAST(n_matched AS DOUBLE) / n_candidates
+                ELSE 0.0 END, 6) AS pair_quality,
+          round(1.0 - CAST(n_candidates AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (n - 1) / 2), 6) AS reduction_ratio
+        FROM c, t, h, nr
+    """
+    _scored_lev_sql = """
+        SELECT l.p_partkey AS left_id, r.p_partkey AS right_id,
+               round(1.0 - CAST(levenshtein(l.p_name, r.p_name) AS DOUBLE)
+                         / greatest(length(l.p_name), length(r.p_name)),
+                     6) AS lev_ratio
+        FROM part l JOIN part r
+          ON l.p_brand = r.p_brand AND l.p_size = r.p_size
+         AND l.p_partkey < r.p_partkey
+    """
+    _fs_decisions_sql = f"""
+        WITH scored AS ({_scored_lev_sql})
+        SELECT CASE WHEN lev_ratio >= 0.75 THEN 'link'
+                    WHEN lev_ratio < 0.45 THEN 'non_link'
+                    ELSE 'possible' END AS decision,
+               count(*) AS n_pairs
+        FROM scored GROUP BY 1
+    """
+    _review_pairs_sql = f"""
+        WITH scored AS ({_scored_lev_sql})
+        SELECT left_id, right_id, lev_ratio,
+               abs(lev_ratio - 0.6) AS uncertainty
+        FROM scored
+        WHERE lev_ratio >= 0.45 AND lev_ratio < 0.75
+        ORDER BY abs(lev_ratio - 0.6) ASC, left_id ASC, right_id ASC
+        LIMIT 25
+    """
+
     return {
+        "q_snm_pairs": _snm_pairs_sql,
+        "q_blocking_metrics": _blocking_metrics_sql,
+        "q_fs_decisions": _fs_decisions_sql,
+        "q_review_pairs": _review_pairs_sql,
         "q_pair_scores": _pair_scores_sql,
         "q_fs_em": _fs_em_sql(),
         "q_meta_weights": _meta_weights_sql,

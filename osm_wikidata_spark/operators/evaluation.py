@@ -99,3 +99,71 @@ def pairwise_cluster_metrics(
         F.round("b3r", precision).alias("b3_recall"),
         F.round(_f1(F.col("b3p"), F.col("b3r")), precision).alias("b3_f1"),
     )
+
+
+def blocking_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    precision: int = 6,
+) -> DataFrame:
+    """Blocking-scheme quality: pair completeness / pair quality /
+    reduction ratio (Christen, *Data Matching* 2012, §7.6) — the standard
+    triple for judging a candidate generator BEFORE pairwise scoring.
+
+    * pair_completeness = |cand ∩ truth| / |truth|   (blocking recall)
+    * pair_quality      = |cand ∩ truth| / |cand|    (blocking precision)
+    * reduction_ratio   = 1 − |cand| / C(n_records, 2)
+
+    Both inputs are pair tables on (left_col, right_col); orientation and
+    duplicates are normalised here (least/greatest + distinct), so callers
+    can pass raw channel output.  ``n_records`` is the record-universe
+    size for the reduction ratio — passed, not inferred, because the
+    candidate table no longer knows about records it never paired.
+
+    Scale shape: two distincts + one inner join on the normalised pair
+    key, three scalar aggregates — no per-record state, no window.  At
+    10^12 records the pair tables are the big inputs and this is exactly
+    one shuffle each.
+    """
+
+    def _norm(pairs: DataFrame) -> DataFrame:
+        a, b = F.col(left_col), F.col(right_col)
+        return pairs.select(
+            F.least(a, b).alias("_pa"), F.greatest(a, b).alias("_pb")
+        ).distinct()
+
+    cand = _norm(candidates)
+    tru = _norm(truth)
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_tru = tru.agg(F.count("*").alias("n_truth"))
+    n_hit = (
+        cand.join(tru, ["_pa", "_pb"])
+        .agg(F.count("*").alias("n_matched"))
+    )
+    total_pairs = n_records * (n_records - 1) // 2
+
+    def _ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    return (
+        n_cand.crossJoin(F.broadcast(n_tru))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_matched",
+            F.round(
+                _ratio(F.col("n_matched"), F.col("n_truth")), precision
+            ).alias("pair_completeness"),
+            F.round(
+                _ratio(F.col("n_matched"), F.col("n_candidates")), precision
+            ).alias("pair_quality"),
+            F.round(
+                F.lit(1.0) - _ratio(F.col("n_candidates"), F.lit(total_pairs)),
+                precision,
+            ).alias("reduction_ratio"),
+        )
+    )

@@ -197,3 +197,65 @@ def score_pairs_fs(cv: DataFrame, patterns: DataFrame, gamma_cols: list[str]) ->
     direction)."""
     dim = patterns.select(*gamma_cols, "match_weight", "posterior")
     return cv.join(F.broadcast(dim), list(gamma_cols), "left")
+
+
+def fs_decisions(
+    scored: DataFrame,
+    lower: float,
+    upper: float,
+    weight_col: str = "match_weight",
+) -> DataFrame:
+    """The Fellegi-Sunter three-way decision rule (JASA 1969, §3): weights
+    at or above ``upper`` are links, below ``lower`` non-links, the band
+    between goes to clerical review.  Pure column CASE — stays inside
+    whole-stage codegen, no shuffle.
+
+    The reference's binary analog is check_for_match's match/no-match with
+    the "bad match" veto band carved out by matcher rules; the explicit
+    possible-link band is what a human-in-the-loop ER deployment needs.
+    """
+    if lower > upper:
+        raise ValueError(f"lower {lower} > upper {upper}")
+    w = F.col(weight_col)
+    return scored.withColumn(
+        "decision",
+        F.when(w >= upper, F.lit("link"))
+        .when(w < lower, F.lit("non_link"))
+        .otherwise(F.lit("possible")),
+    )
+
+
+def select_review_pairs(
+    scored: DataFrame,
+    k: int,
+    weight_col: str = "match_weight",
+    mid: float | None = None,
+    lower: float | None = None,
+    upper: float | None = None,
+    id_cols: tuple[str, str] = ("left_id", "right_id"),
+) -> DataFrame:
+    """Uncertainty sampling for active learning / clerical review: the
+    ``k`` pairs whose weight sits closest to the decision boundary
+    (``mid``, default the lower/upper midpoint or 0.0 — the FS log-ratio
+    indifference point).
+
+    Deterministic: ties on uncertainty break by the pair ids.  The global
+    top-k is orderBy+limit, which Spark executes as per-partition top-k +
+    a k-row driver merge (TakeOrderedAndProject) — no global sort, no
+    single-partition window, safe at any corpus size for bounded k.
+    Restricting to the (lower, upper) possible-link band first, when
+    given, keeps already-decided pairs out of the labelling budget.
+    """
+    w = F.col(weight_col)
+    if mid is None:
+        mid = (lower + upper) / 2.0 if lower is not None and upper is not None else 0.0
+    out = scored
+    if lower is not None:
+        out = out.filter(w >= lower)
+    if upper is not None:
+        out = out.filter(w < upper)
+    return (
+        out.withColumn("uncertainty", F.abs(w - F.lit(float(mid))))
+        .orderBy(F.col("uncertainty").asc(), *[F.col(c).asc() for c in id_cols])
+        .limit(k)
+    )
