@@ -703,7 +703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_blocking_metrics(spark, sf):
         # blocking-scheme quality triple (Christen 2012 §7.6): pair
         # completeness / pair quality / reduction ratio of the SNM channel
-        # against a first-name-word truth set — two distincts + one join
+        # against a two-word-name-prefix truth set — two distincts + one
+        # join.  Truth deliberately keys on TWO leading words: a single
+        # word groups ~1/14 of the corpus (25M pairs at sf0.1, quadratic
+        # in SF — the degenerate-truth shape the metric would melt on)
         from osm_wikidata_spark.operators.evaluation import blocking_metrics
         from osm_wikidata_spark.operators.neighborhood import (
             sorted_neighborhood_pairs,
@@ -713,11 +716,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cand = sorted_neighborhood_pairs(
             part, "p_partkey", "p_name", window=4
         ).select("left_id", "right_id")
-        fw = F.split(F.col("p_name"), " ")[0]
-        lhs = part.select(F.col("p_partkey").alias("left_id"), fw.alias("fw"))
-        rhs = part.select(F.col("p_partkey").alias("right_id"), fw.alias("fw"))
+        words = F.split(F.col("p_name"), " ")
+        pref = part.select(
+            F.col("p_partkey").alias("pid"),
+            words[0].alias("w0"),
+            words[1].alias("w1"),
+        )
         truth = (
-            lhs.join(rhs, "fw")
+            pref.select(F.col("pid").alias("left_id"), "w0", "w1")
+            .join(
+                pref.select(F.col("pid").alias("right_id"), "w0", "w1"),
+                ["w0", "w1"],
+            )
             .filter(F.col("left_id") < F.col("right_id"))
             .select("left_id", "right_id")
         )
@@ -2630,6 +2640,7 @@ def oracle_sql() -> dict[str, str]:
                  greatest(l.p_partkey, r.p_partkey) AS pb
           FROM part l JOIN part r
             ON string_split(l.p_name, ' ')[1] = string_split(r.p_name, ' ')[1]
+           AND string_split(l.p_name, ' ')[2] = string_split(r.p_name, ' ')[2]
            AND l.p_partkey < r.p_partkey
         ),
         c AS (SELECT count(*) AS n_candidates FROM cand),

@@ -78,6 +78,10 @@ HEADLINE = [
     "q_meta_cnp",
     "q_idf_overlap",
     "q_cluster_eval",
+    # round 4 (cont.): sorted-neighborhood channel (distributed global
+    # rank) + blocking-quality triple over a 3M-pair truth set
+    "q_snm_pairs",
+    "q_blocking_metrics",
 ]
 
 

@@ -123,25 +123,35 @@ def blocking_metrics(
     size for the reduction ratio — passed, not inferred, because the
     candidate table no longer knows about records it never paired.
 
-    Scale shape: two distincts + one inner join on the normalised pair
-    key, three scalar aggregates — no per-record state, no window.  At
-    10^12 records the pair tables are the big inputs and this is exactly
-    one shuffle each.
+    Scale shape: ONE plan — two distincts feeding one full-outer join on
+    the normalised pair key, then a single scalar aggregate over presence
+    flags.  All three counts (|cand|, |truth|, |cand ∩ truth|) come out of
+    that one pass, so each (potentially expensive) input subtree — a
+    candidate generator is often a sort or a multi-channel union — is
+    computed exactly once, with no persist needed.  No per-record state,
+    no window.
     """
 
-    def _norm(pairs: DataFrame) -> DataFrame:
+    def _norm(pairs: DataFrame, flag: str) -> DataFrame:
         a, b = F.col(left_col), F.col(right_col)
-        return pairs.select(
-            F.least(a, b).alias("_pa"), F.greatest(a, b).alias("_pb")
-        ).distinct()
+        return (
+            pairs.select(
+                F.least(a, b).alias("_pa"), F.greatest(a, b).alias("_pb")
+            )
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
 
-    cand = _norm(candidates)
-    tru = _norm(truth)
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    n_tru = tru.agg(F.count("*").alias("n_truth"))
-    n_hit = (
-        cand.join(tru, ["_pa", "_pb"])
-        .agg(F.count("*").alias("n_matched"))
+    both = _norm(candidates, "_c").join(
+        _norm(truth, "_t"), ["_pa", "_pb"], "full_outer"
+    )
+    counts = both.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).alias("n_candidates"),
+        F.coalesce(F.sum("_t"), F.lit(0)).alias("n_truth"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)),
+            F.lit(0),
+        ).alias("n_matched"),
     )
     total_pairs = n_records * (n_records - 1) // 2
 
@@ -149,9 +159,7 @@ def blocking_metrics(
         return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
 
     return (
-        n_cand.crossJoin(F.broadcast(n_tru))
-        .crossJoin(F.broadcast(n_hit))
-        .select(
+        counts.select(
             "n_candidates",
             "n_truth",
             "n_matched",
