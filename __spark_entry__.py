@@ -761,6 +761,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scored, k=25, weight_col="lev_ratio", lower=0.45, upper=0.75, mid=0.6
         ).select("left_id", "right_id", "lev_ratio", "uncertainty")
 
+    def q_cluster_cohesion(spark, sf):
+        # post-clustering QA: per-cluster density + edge-weight stats over
+        # the thresholded meta-blocking graph — flags transitive clusters
+        # glued by a single weak edge without any pairwise recompute
+        from osm_wikidata_spark.operators.components import (
+            connected_components,
+        )
+        from osm_wikidata_spark.operators.evaluation import cluster_cohesion
+        from osm_wikidata_spark.operators.metablocking import (
+            block_edge_weights,
+        )
+
+        weights = block_edge_weights(_part_block_memberships(spark, sf)).filter(
+            F.col("js") >= 0.4
+        )
+        assigns = connected_components(weights)
+        return cluster_cohesion(assigns, weights, weight_col="js")
+
     def q_nrhp_shortcut(spark, sf):
         # J3: unique-reference short-circuit (matcher.py:322-345)
         return (
@@ -2254,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blocking_metrics": q_blocking_metrics,
         "q_fs_decisions": q_fs_decisions,
         "q_review_pairs": q_review_pairs,
+        "q_cluster_cohesion": q_cluster_cohesion,
         "q_pii_stats": q_pii_stats,
         "q_session_stats": q_session_stats,
         "q_vocab_topk": q_vocab_topk,
@@ -2685,8 +2704,49 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 25
     """
 
+    _cluster_cohesion_sql = f"""
+        WITH RECURSIVE w AS ({_meta_weights_sql}),
+        e AS (
+          SELECT least(left_id, right_id) AS ea,
+                 greatest(left_id, right_id) AS eb, js
+          FROM w WHERE js >= 0.4
+        ),
+        nodes AS (
+          SELECT DISTINCT ea AS node FROM e
+          UNION SELECT DISTINCT eb FROM e
+        ),
+        bidir AS (SELECT ea AS u, eb AS v FROM e UNION SELECT eb, ea FROM e),
+        reach AS (
+          SELECT node, node AS cur FROM nodes
+          UNION
+          SELECT r.node, b.v FROM reach r JOIN bidir b ON b.u = r.cur
+        ),
+        comp AS (SELECT node, min(cur) AS component FROM reach GROUP BY node),
+        sizes AS (
+          SELECT component, count(*) AS n_nodes FROM comp GROUP BY component
+        ),
+        intra AS (
+          SELECT ca.component AS component, count(*) AS n_edges,
+                 round(min(js), 6) AS min_weight,
+                 round(avg(js), 6) AS avg_weight
+          FROM e
+          JOIN comp ca ON ca.node = e.ea
+          JOIN comp cb ON cb.node = e.eb
+          WHERE ca.component = cb.component
+          GROUP BY 1
+        )
+        SELECT s.component, s.n_nodes, coalesce(i.n_edges, 0) AS n_edges,
+          CASE WHEN s.n_nodes < 2 THEN 1.0
+               ELSE round(CAST(coalesce(i.n_edges, 0) AS DOUBLE)
+                        / (CAST(s.n_nodes AS DOUBLE) * (s.n_nodes - 1) / 2), 6)
+          END AS density,
+          i.min_weight, i.avg_weight
+        FROM sizes s LEFT JOIN intra i USING (component)
+    """
+
     return {
         "q_snm_pairs": _snm_pairs_sql,
+        "q_cluster_cohesion": _cluster_cohesion_sql,
         "q_blocking_metrics": _blocking_metrics_sql,
         "q_fs_decisions": _fs_decisions_sql,
         "q_review_pairs": _review_pairs_sql,

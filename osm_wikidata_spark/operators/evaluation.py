@@ -175,3 +175,85 @@ def blocking_metrics(
             ).alias("reduction_ratio"),
         )
     )
+
+
+def cluster_cohesion(
+    assignments: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    comp_col: str = "component",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    weight_col: str | None = None,
+    precision: int = 6,
+) -> DataFrame:
+    """Per-cluster cohesion diagnostics over a clustering + its match-edge
+    graph — the post-clustering QA report (Splink's cluster-metrics idea):
+    a transitive-closure cluster glued together by a single weak edge is a
+    likely bad merge, and density + weight stats find those without any
+    pairwise recompute.
+
+    Returns one row per cluster: ``(component, n_nodes, n_edges, density
+    [, min_weight, avg_weight])``.
+
+    * ``density`` = n_edges / C(n_nodes, 2); singletons are 1.0 by
+      convention (trivially complete).
+    * edges are orientation-normalised and deduped; only intra-cluster
+      edges count (cross-cluster edges — candidates the scorer rejected —
+      are ignored).
+    * weight stats are null for edgeless clusters (left-join semantics),
+      present only when ``weight_col`` is given.
+
+    Scale shape: two node-keyed joins to label edge endpoints, one
+    groupBy per cluster, one left join onto cluster sizes — all shuffles
+    on node/cluster ids, no window, no arrays.
+    """
+    a, b = F.col(left_col), F.col(right_col)
+    norm_cols = [F.least(a, b).alias("_ea"), F.greatest(a, b).alias("_eb")] + (
+        [F.col(weight_col).alias("_w")] if weight_col else []
+    )
+    e = edges.select(*norm_cols).dropDuplicates(["_ea", "_eb"])
+    la = assignments.select(
+        F.col(node_col).alias("_ea"), F.col(comp_col).alias("_ca")
+    )
+    lb = assignments.select(
+        F.col(node_col).alias("_eb"), F.col(comp_col).alias("_cb")
+    )
+    intra = (
+        e.join(la, "_ea").join(lb, "_eb").filter(F.col("_ca") == F.col("_cb"))
+    )
+    per = intra.groupBy(F.col("_ca").alias("component")).agg(
+        F.count("*").alias("n_edges"),
+        *(
+            [
+                F.round(F.min("_w"), precision).alias("min_weight"),
+                F.round(F.avg("_w"), precision).alias("avg_weight"),
+            ]
+            if weight_col
+            else []
+        ),
+    )
+    sizes = assignments.groupBy(
+        F.col(comp_col).alias("component")
+    ).agg(F.count("*").alias("n_nodes"))
+    n = F.col("n_nodes")
+    return (
+        sizes.join(per, "component", "left")
+        .withColumn("n_edges", F.coalesce("n_edges", F.lit(0)))
+        .withColumn(
+            "density",
+            F.when(n < 2, F.lit(1.0)).otherwise(
+                F.round(
+                    F.col("n_edges").cast("double") / (n * (n - 1) / 2),
+                    precision,
+                )
+            ),
+        )
+        .select(
+            "component",
+            "n_nodes",
+            "n_edges",
+            "density",
+            *(["min_weight", "avg_weight"] if weight_col else []),
+        )
+    )

@@ -80,3 +80,38 @@ def test_no_positive_pairs_defined_as_zero(spark):
     assert got["tp"] == got["fp"] == got["fn"] == 0
     assert got["precision"] == got["recall"] == got["f1"] == 0.0
     assert got["b3_precision"] == got["b3_recall"] == got["b3_f1"] == 1.0
+
+
+def test_cluster_cohesion_density_and_weights(spark):
+    from osm_wikidata_spark.operators.evaluation import cluster_cohesion
+
+    assigns = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "node int, component int"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 1, 0.9), (3, 2, 0.5), (3, 9, 0.8)],
+        "left_id int, right_id int, w double",
+    )  # (2,1) is a reversed dup; (3,9) is cross-cluster -> both ignored
+    rows = {
+        r["component"]: r
+        for r in cluster_cohesion(assigns, edges, weight_col="w").collect()
+    }
+    big = rows[1]
+    assert (big["n_nodes"], big["n_edges"]) == (3, 2)
+    assert big["density"] == pytest.approx(2 / 3, abs=1e-6)
+    assert big["min_weight"] == pytest.approx(0.5)
+    assert big["avg_weight"] == pytest.approx(0.7)
+    single = rows[9]
+    assert (single["n_nodes"], single["n_edges"], single["density"]) == (1, 0, 1.0)
+    assert single["min_weight"] is None and single["avg_weight"] is None
+
+
+def test_cluster_cohesion_weightless(spark):
+    from osm_wikidata_spark.operators.evaluation import cluster_cohesion
+
+    assigns = spark.createDataFrame([(1, 1), (2, 1)], "node int, component int")
+    edges = spark.createDataFrame([(1, 2)], "left_id int, right_id int")
+    row = cluster_cohesion(assigns, edges).collect()[0]
+    assert row.asDict() == {
+        "component": 1, "n_nodes": 2, "n_edges": 1, "density": 1.0
+    }
