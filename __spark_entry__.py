@@ -761,6 +761,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scored, k=25, weight_col="lev_ratio", lower=0.45, upper=0.75, mid=0.6
         ).select("left_id", "right_id", "lev_ratio", "uncertainty")
 
+    def q_soft_tfidf(spark, sf):
+        # SoftTFIDF (Cohen-Ravikumar-Fienberg IIWeb'03): idf-weighted
+        # cosine with Jaro-Winkler soft token matching (theta=0.9) —
+        # completes the scorer family (exact-set, idf-exact, soft)
+        from osm_wikidata_spark.operators.scoring import (
+            soft_tfidf,
+            token_idf_dim,
+        )
+
+        idf = token_idf_dim(_t(spark, sf, "part"), text_col="p_name")
+        return soft_tfidf(_part_name_pairs(spark, sf), idf).select(
+            "left_id", "right_id", "soft_tfidf"
+        )
+
     def q_cluster_cohesion(spark, sf):
         # post-clustering QA: per-cluster density + edge-weight stats over
         # the thresholded meta-blocking graph — flags transitive clusters
@@ -2273,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fs_decisions": q_fs_decisions,
         "q_review_pairs": q_review_pairs,
         "q_cluster_cohesion": q_cluster_cohesion,
+        "q_soft_tfidf": q_soft_tfidf,
         "q_pii_stats": q_pii_stats,
         "q_session_stats": q_session_stats,
         "q_vocab_topk": q_vocab_topk,
@@ -2744,9 +2759,88 @@ def oracle_sql() -> dict[str, str]:
         FROM sizes s LEFT JOIN intra i USING (component)
     """
 
+    # SoftTFIDF: idf-weighted cosine with JW-soft token matching.  The
+    # best-right-token tie-break is two-step (max jw, then max idf among
+    # the argmax set) — identical to Spark's max(struct(jw, idf)).
+    _soft_tfidf_sql = """
+        WITH pairs AS (
+          SELECT l.p_partkey AS left_id, r.p_partkey AS right_id,
+                 l.p_name AS ln, r.p_name AS rn
+          FROM part l JOIN part r
+            ON l.p_brand = r.p_brand AND l.p_size = r.p_size
+           AND l.p_partkey < r.p_partkey
+        ),
+        corpus AS (
+          SELECT list_distinct(list_filter(string_split(p_name, ' '),
+                                           x -> x <> '')) AS toks
+          FROM part
+        ),
+        dfreq AS (
+          SELECT w AS token, count(*) AS df
+          FROM corpus, unnest(toks) AS t(w) GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS n_docs FROM part),
+        idf AS (
+          SELECT token, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf
+          FROM dfreq, n
+        ),
+        lw AS (
+          SELECT left_id, right_id, t.w AS lt, coalesce(idf, 0.0) AS lidf
+          FROM pairs,
+               unnest(list_distinct(list_filter(string_split(ln, ' '),
+                                                x -> x <> ''))) AS t(w)
+          LEFT JOIN idf ON idf.token = t.w
+        ),
+        rw AS (
+          SELECT left_id, right_id, t.w AS rt, coalesce(idf, 0.0) AS ridf
+          FROM pairs,
+               unnest(list_distinct(list_filter(string_split(rn, ' '),
+                                                x -> x <> ''))) AS t(w)
+          LEFT JOIN idf ON idf.token = t.w
+        ),
+        lnorm AS (
+          SELECT left_id, right_id, sqrt(sum(lidf * lidf)) AS lnrm
+          FROM lw GROUP BY 1, 2
+        ),
+        rnorm AS (
+          SELECT left_id, right_id, sqrt(sum(ridf * ridf)) AS rnrm
+          FROM rw GROUP BY 1, 2
+        ),
+        close AS (
+          SELECT lw.left_id, lw.right_id, lt, lidf, rt, ridf,
+                 round(jaro_winkler_similarity(lt, rt), 6) AS jw
+          FROM lw JOIN rw USING (left_id, right_id)
+          WHERE round(jaro_winkler_similarity(lt, rt), 6) >= 0.9
+        ),
+        bj AS (
+          SELECT left_id, right_id, lt, max(lidf) AS lidf, max(jw) AS bjw
+          FROM close GROUP BY 1, 2, 3
+        ),
+        bv AS (
+          SELECT b.left_id, b.right_id, b.lt, b.lidf, b.bjw,
+                 max(c.ridf) AS bridf
+          FROM bj b JOIN close c
+            ON c.left_id = b.left_id AND c.right_id = b.right_id
+           AND c.lt = b.lt AND c.jw = b.bjw
+          GROUP BY 1, 2, 3, 4, 5
+        ),
+        raw AS (
+          SELECT left_id, right_id, sum(lidf * bridf * bjw) AS raw
+          FROM bv GROUP BY 1, 2
+        )
+        SELECT p.left_id, p.right_id,
+          round(CASE WHEN lnrm > 0 AND rnrm > 0 AND raw IS NOT NULL
+                THEN raw / (lnrm * rnrm) ELSE 0.0 END, 6) AS soft_tfidf
+        FROM pairs p
+        LEFT JOIN lnorm USING (left_id, right_id)
+        LEFT JOIN rnorm USING (left_id, right_id)
+        LEFT JOIN raw USING (left_id, right_id)
+    """
+
     return {
         "q_snm_pairs": _snm_pairs_sql,
         "q_cluster_cohesion": _cluster_cohesion_sql,
+        "q_soft_tfidf": _soft_tfidf_sql,
         "q_blocking_metrics": _blocking_metrics_sql,
         "q_fs_decisions": _fs_decisions_sql,
         "q_review_pairs": _review_pairs_sql,

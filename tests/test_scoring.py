@@ -232,3 +232,43 @@ def test_levenshtein_ratio_null_and_empty(spark):
     assert got[0]["s"] == 1.0  # both empty → identical
     assert got[1]["s"] is None  # null propagates
     assert got[2]["s"] == pytest.approx(1 - 1 / 3)
+
+
+def _stf(spark, pairs_rows, corpus_names, **kw):
+    from osm_wikidata_spark.operators.scoring import soft_tfidf, token_idf_dim
+
+    pairs = spark.createDataFrame(
+        pairs_rows, "left_id int, right_id int, left_name string, right_name string"
+    )
+    corpus = spark.createDataFrame([(n,) for n in corpus_names], "name string")
+    out = soft_tfidf(pairs, token_idf_dim(corpus), **kw).collect()
+    return {(r["left_id"], r["right_id"]): r["soft_tfidf"] for r in out}
+
+
+def test_soft_tfidf_identical_names_score_one(spark):
+    corpus = ["alpha beta", "gamma delta", "alpha gamma"]
+    got = _stf(spark, [(1, 2, "alpha beta", "alpha beta")], corpus)
+    assert got[(1, 2)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_soft_tfidf_disjoint_names_score_zero(spark):
+    corpus = ["alpha beta", "zzzz qqqq"]
+    got = _stf(spark, [(1, 2, "alpha beta", "zzzz qqqq")], corpus)
+    assert got[(1, 2)] == 0.0
+
+
+def test_soft_tfidf_typo_token_still_matches(spark):
+    # "goldenrod" vs "goldenrd" has JW ~0.98 >= 0.9 -> contributes;
+    # exact idf_token_overlap would score this pair 0
+    corpus = ["goldenrod lace", "goldenrd lace", "navy wheat"]
+    got = _stf(spark, [(1, 2, "goldenrod", "goldenrd")], corpus)
+    assert got[(1, 2)] > 0.9
+
+
+def test_soft_tfidf_theta_gates_weak_matches(spark):
+    corpus = ["alpha", "omega"]
+    pairs = [(1, 2, "alpha", "omega")]
+    loose = _stf(spark, pairs, corpus, theta=0.0)
+    strict = _stf(spark, pairs, corpus, theta=0.9)
+    assert strict[(1, 2)] == 0.0
+    assert loose[(1, 2)] > 0.0
