@@ -761,6 +761,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scored, k=25, weight_col="lev_ratio", lower=0.45, upper=0.75, mid=0.6
         ).select("left_id", "right_id", "lev_ratio", "uncertainty")
 
+    def q_rand_index(spark, sf):
+        # run-over-run cluster stability: Adjusted Rand Index between the
+        # threshold-ladder clusterings at 0.4 and 0.9 — contingency-cell
+        # algebra, pairs never materialised
+        from osm_wikidata_spark.operators.components import (
+            components_at_thresholds,
+        )
+        from osm_wikidata_spark.operators.evaluation import (
+            adjusted_rand_index,
+        )
+        from osm_wikidata_spark.operators.metablocking import (
+            block_edge_weights,
+        )
+
+        weights = block_edge_weights(_part_block_memberships(spark, sf))
+        ladder = components_at_thresholds(weights, [0.4, 0.9], weight_col="js")
+        a = ladder.filter(F.col("threshold") == 0.4).select(
+            "node", F.col("component").alias("component_a")
+        )
+        b = ladder.filter(F.col("threshold") == 0.9).select(
+            "node", F.col("component").alias("component_b")
+        )
+        return adjusted_rand_index(a.join(b, "node"))
+
     def q_soft_tfidf(spark, sf):
         # SoftTFIDF (Cohen-Ravikumar-Fienberg IIWeb'03): idf-weighted
         # cosine with Jaro-Winkler soft token matching (theta=0.9) —
@@ -2288,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_review_pairs": q_review_pairs,
         "q_cluster_cohesion": q_cluster_cohesion,
         "q_soft_tfidf": q_soft_tfidf,
+        "q_rand_index": q_rand_index,
         "q_pii_stats": q_pii_stats,
         "q_session_stats": q_session_stats,
         "q_vocab_topk": q_vocab_topk,
@@ -2841,6 +2866,41 @@ def oracle_sql() -> dict[str, str]:
         "q_snm_pairs": _snm_pairs_sql,
         "q_cluster_cohesion": _cluster_cohesion_sql,
         "q_soft_tfidf": _soft_tfidf_sql,
+        "q_rand_index": f"""
+            WITH lad AS (
+              SELECT * FROM ({_cluster_thresholds_sql([0.4, 0.9])})
+            ),
+            ab AS (
+              SELECT a.node, a.component AS ca, b.component AS cb
+              FROM lad a JOIN lad b ON a.node = b.node
+              WHERE a.threshold = 0.4 AND b.threshold = 0.9
+            ),
+            cells AS (SELECT ca, cb, count(*) AS n FROM ab GROUP BY 1, 2),
+            ix AS (
+              SELECT CAST(sum(n) AS BIGINT) AS n_items,
+                     CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS idx
+              FROM cells
+            ),
+            asz AS (SELECT ca, sum(n) AS n_a FROM cells GROUP BY 1),
+            bsz AS (SELECT cb, sum(n) AS n_b FROM cells GROUP BY 1),
+            sa AS (SELECT CAST(sum((n_a * (n_a - 1)) // 2) AS BIGINT) AS sa FROM asz),
+            sb AS (SELECT CAST(sum((n_b * (n_b - 1)) // 2) AS BIGINT) AS sb FROM bsz),
+            stats AS (
+              SELECT n_items, idx,
+                CASE WHEN n_items > 1
+                     THEN sa * sb / (CAST(n_items AS DOUBLE) * (n_items - 1) / 2)
+                     ELSE 0.0 END AS expected_raw,
+                (sa + sb) / 2.0 AS max_raw
+              FROM ix, sa, sb
+            )
+            SELECT n_items, idx AS index,
+              round(expected_raw, 6) AS expected,
+              round(max_raw, 6) AS max_index,
+              round(CASE WHEN abs(max_raw - expected_raw) < 1e-12 THEN 1.0
+                    ELSE (idx - expected_raw) / (max_raw - expected_raw)
+                    END, 6) AS ari
+            FROM stats
+        """,
         "q_blocking_metrics": _blocking_metrics_sql,
         "q_fs_decisions": _fs_decisions_sql,
         "q_review_pairs": _review_pairs_sql,

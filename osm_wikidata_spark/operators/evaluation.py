@@ -257,3 +257,69 @@ def cluster_cohesion(
             *(["min_weight", "avg_weight"] if weight_col else []),
         )
     )
+
+
+def adjusted_rand_index(
+    assignments: DataFrame,
+    a_col: str = "component_a",
+    b_col: str = "component_b",
+    precision: int = 6,
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) between two clusterings
+    of the same items — the standard run-over-run stability metric: compare
+    this week's clusters against last week's, or two threshold-ladder
+    levels, without any labeled truth.
+
+    ``assignments`` has one row per item with its cluster id under run A
+    and run B.  Returns one row: ``(n_items, index, expected, max_index,
+    ari)`` where
+
+        index    = Σ_cells C(n_ij, 2)
+        expected = Σ_i C(a_i, 2) · Σ_j C(b_j, 2) / C(n, 2)
+        max      = (Σ_i C(a_i, 2) + Σ_j C(b_j, 2)) / 2
+        ari      = (index − expected) / (max − expected)
+
+    Degenerate convention (both partitions all-singletons or all-one):
+    max == expected, and ari is defined as 1.0 — the partitions are
+    identical — matching scikit-learn.
+
+    Scale shape: identical to :func:`pairwise_cluster_metrics` — one
+    shuffle on the (a, b) contingency cell, two rollup dims, 1-row
+    combine; never materialises pairs.
+    """
+    cells = assignments.groupBy(a_col, b_col).agg(F.count("*").alias("n_cell"))
+    a_sizes = cells.groupBy(a_col).agg(F.sum("n_cell").alias("n_a"))
+    b_sizes = cells.groupBy(b_col).agg(F.sum("n_cell").alias("n_b"))
+    idx = cells.agg(
+        F.sum("n_cell").alias("n_items"),
+        F.sum(F.expr("(n_cell * (n_cell - 1)) div 2")).alias("index"),
+    )
+    sum_a = a_sizes.agg(F.sum(F.expr("(n_a * (n_a - 1)) div 2")).alias("sa"))
+    sum_b = b_sizes.agg(F.sum(F.expr("(n_b * (n_b - 1)) div 2")).alias("sb"))
+    n = F.col("n_items")
+    total = (n * (n - 1) / 2).cast("double")
+    stats = (
+        idx.crossJoin(F.broadcast(sum_a))
+        .crossJoin(F.broadcast(sum_b))
+        .select(
+            "n_items",
+            "index",
+            F.when(
+                total > 0, F.col("sa") * F.col("sb") / total
+            ).otherwise(F.lit(0.0)).alias("expected"),
+            ((F.col("sa") + F.col("sb")) / F.lit(2.0)).alias("max_index"),
+        )
+    )
+    denom = F.col("max_index") - F.col("expected")
+    return stats.select(
+        "n_items",
+        "index",
+        F.round("expected", precision).alias("expected"),
+        F.round("max_index", precision).alias("max_index"),
+        F.round(
+            F.when(
+                F.abs(denom) < 1e-12, F.lit(1.0)
+            ).otherwise((F.col("index") - F.col("expected")) / denom),
+            precision,
+        ).alias("ari"),
+    )

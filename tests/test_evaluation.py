@@ -115,3 +115,31 @@ def test_cluster_cohesion_weightless(spark):
     assert row.asDict() == {
         "component": 1, "n_nodes": 2, "n_edges": 1, "density": 1.0
     }
+
+
+def _ari(spark, rows):
+    from osm_wikidata_spark.operators.evaluation import adjusted_rand_index
+
+    df = spark.createDataFrame(rows, "component_a int, component_b int")
+    return adjusted_rand_index(df).collect()[0]
+
+
+def test_ari_identical_partitions(spark):
+    r = _ari(spark, [(1, 10), (1, 10), (2, 20), (3, 30)])
+    assert r["ari"] == pytest.approx(1.0)
+
+
+def test_ari_hand_computed(spark):
+    # A=[1,1,2,2,3], B=[1,1,1,2,2]: index=1, sa=2, sb=4, n=5
+    # expected=0.8, max=3, ari=0.2/2.2
+    r = _ari(spark, [(1, 1), (1, 1), (2, 1), (2, 2), (3, 2)])
+    assert (r["n_items"], r["index"]) == (5, 1)
+    assert r["expected"] == pytest.approx(0.8)
+    assert r["max_index"] == pytest.approx(3.0)
+    assert r["ari"] == pytest.approx(0.2 / 2.2, abs=1e-6)
+
+
+def test_ari_degenerate_singletons(spark):
+    # both all-singletons: max == expected == 0 -> defined 1.0
+    r = _ari(spark, [(1, 10), (2, 20), (3, 30)])
+    assert r["ari"] == 1.0
