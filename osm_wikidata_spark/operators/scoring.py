@@ -323,10 +323,16 @@ def soft_tfidf(
     crossed = lw.join(rw, cols).withColumn(
         "_jw", F.round(jaro_winkler_udf(F.col("_lt"), F.col("_rt")), precision)
     )
+    # theta gates AFTER the argmax, not before: max(struct(jw, idf)) is
+    # monotone in jw, so "filter >= theta then argmax" and "argmax then
+    # keep if best >= theta" pick the identical row — but pre-filtering
+    # makes Catalyst inline the UDF expression into both the Filter and
+    # the Aggregate, evaluating Jaro-Winkler TWICE per token pair (two
+    # ArrowEvalPython nodes; plan-pinned to one in tests/test_plans.py)
     best = (
-        crossed.filter(F.col("_jw") >= theta)
-        .groupBy(*cols, "_lt", "_lidf")
+        crossed.groupBy(*cols, "_lt", "_lidf")
         .agg(F.max(F.struct("_jw", "_ridf")).alias("_b"))
+        .filter(F.col("_b._jw") >= theta)
     )
     raw = best.groupBy(*cols).agg(
         F.sum(F.col("_lidf") * F.col("_b._ridf") * F.col("_b._jw")).alias("_raw")

@@ -319,3 +319,38 @@ def test_fuzzy_decontamination_no_python(spark):
     plan = _formatted_plan(entry.queries()["q_decontaminate_fuzzy"](spark, SF))
     assert "EvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_review_pairs_is_take_ordered(spark):
+    """Uncertainty top-k must be TakeOrderedAndProject (per-partition
+    top-k + k-row driver merge), never a global Sort + Limit."""
+    import __spark_entry__ as entry
+
+    plan = _formatted_plan(entry.queries()["q_review_pairs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_blocking_metrics_single_pass(spark):
+    """All three counts must come from ONE full-outer join — the SNM sort
+    and the truth self-join each appear exactly once in the plan."""
+    import re
+
+    import __spark_entry__ as entry
+
+    plan = _formatted_plan(entry.queries()["q_blocking_metrics"](spark, SF))
+    assert "FullOuter" in plan
+    # the range-partition global rank (the candidate subtree's signature
+    # window) is computed once, not once per count
+    assert len(re.findall(r"row_number", plan)) <= 2  # rank + offset dim
+
+
+def test_soft_tfidf_single_arrow_node(spark):
+    """SoftTFIDF's only Python is the token-level JW kernel — exactly one
+    ArrowEvalPython; idf weighting, norms, argmax and the final cosine
+    all stay JVM-side."""
+    import re
+
+    import __spark_entry__ as entry
+
+    plan = _formatted_plan(entry.queries()["q_soft_tfidf"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, flags=re.M)) == 1, plan
