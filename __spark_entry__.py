@@ -700,6 +700,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "part"), "p_partkey", "p_name", window=4
         )
 
+    def q_snm_multipass(spark, sf):
+        # multi-pass SNM (the Hernández-Stolfo recommendation): two sort
+        # keys — name and reversed name (catches prefix typos) — with
+        # pass-count + min-gap attribution for pay-as-you-go scheduling
+        from osm_wikidata_spark.operators.neighborhood import multi_pass_snm
+
+        part = _t(spark, sf, "part").select(
+            "p_partkey", "p_name", F.reverse(F.col("p_name")).alias("rname")
+        )
+        return multi_pass_snm(part, "p_partkey", ["p_name", "rname"], window=4)
+
     def q_blocking_metrics(spark, sf):
         # blocking-scheme quality triple (Christen 2012 §7.6): pair
         # completeness / pair quality / reduction ratio of the SNM channel
@@ -2307,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     operator-covered by in-window siblings (first 7), or
         #     rows-only (q_er_pipeline, q_multimodal_features) ---
         "q_snm_pairs": q_snm_pairs,
+        "q_snm_multipass": q_snm_multipass,
         "q_blocking_metrics": q_blocking_metrics,
         "q_fs_decisions": q_fs_decisions,
         "q_review_pairs": q_review_pairs,
@@ -2687,6 +2699,27 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked a JOIN ranked b
           ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
     """
+    _snm_multipass_sql = f"""
+        WITH r1 AS ({_snm_ranked_sql}),
+        p1 AS (
+          SELECT a.id AS la, b.id AS lb, CAST(b.rnk - a.rnk AS INT) AS gap
+          FROM r1 a JOIN r1 b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+        ),
+        r2 AS (
+          SELECT p_partkey AS id,
+                 row_number() OVER (ORDER BY reverse(p_name) NULLS FIRST,
+                                             p_partkey NULLS FIRST) - 1 AS rnk
+          FROM part
+        ),
+        p2 AS (
+          SELECT a.id AS la, b.id AS lb, CAST(b.rnk - a.rnk AS INT) AS gap
+          FROM r2 a JOIN r2 b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+        ),
+        allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        SELECT least(la, lb) AS left_id, greatest(la, lb) AS right_id,
+               count(*) AS n_passes, min(gap) AS min_gap
+        FROM allp GROUP BY 1, 2
+    """
     _blocking_metrics_sql = f"""
         WITH ranked AS ({_snm_ranked_sql}),
         cand AS (
@@ -2864,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q_snm_pairs": _snm_pairs_sql,
+        "q_snm_multipass": _snm_multipass_sql,
         "q_cluster_cohesion": _cluster_cohesion_sql,
         "q_soft_tfidf": _soft_tfidf_sql,
         "q_rand_index": f"""

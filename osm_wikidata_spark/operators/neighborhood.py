@@ -123,3 +123,50 @@ def sorted_neighborhood_pairs(
         "right_id",
         (F.col("_snm_other") - F.col("_snm_lrank")).cast("int").alias("rank_gap"),
     )
+
+
+def multi_pass_snm(
+    df: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    window: int = 4,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Multi-pass sorted neighborhood — the form Hernández & Stolfo
+    actually recommend: several cheap passes with DIFFERENT sort keys and
+    a small window beat one pass with a large window, because a single
+    key's sort order hides pairs that differ in its leading characters
+    (prefix typos).  Classic second key: the reversed string.
+
+    Returns orientation-normalised distinct pairs ``(left_id, right_id,
+    n_passes, min_gap)`` with ``left_id < right_id``: how many passes
+    proposed the pair and the smallest rank gap any pass saw (a cheap
+    closeness prior for downstream scheduling — pairs found by several
+    passes, or adjacent in some order, are likelier matches and can be
+    scored first, the pay-as-you-go ordering).
+
+    Cost is exactly ``len(key_cols)`` independent single-pass budgets
+    (each N·(window−1) candidates) + one pair groupBy; passes share no
+    state, so a scheduler can run them concurrently.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    passes = None
+    for key in key_cols:
+        p = sorted_neighborhood_pairs(
+            df, id_col, key, window=window, n_buckets=n_buckets
+        )
+        passes = p if passes is None else passes.unionByName(p)
+    a, b = F.col("left_id"), F.col("right_id")
+    return (
+        passes.select(
+            F.least(a, b).alias("left_id"),
+            F.greatest(a, b).alias("right_id"),
+            "rank_gap",
+        )
+        .groupBy("left_id", "right_id")
+        .agg(
+            F.count("*").alias("n_passes"),
+            F.min("rank_gap").alias("min_gap"),
+        )
+    )

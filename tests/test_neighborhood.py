@@ -141,3 +141,46 @@ def test_select_review_pairs_deterministic_ties(spark):
     df = spark.createDataFrame(rows, "left_id int, right_id int, w double")
     out = select_review_pairs(df, k=2, weight_col="w", mid=0.5).collect()
     assert [(r["left_id"], r["right_id"]) for r in out] == [(1, 8), (1, 9)]
+
+
+def test_multi_pass_snm_union_and_attribution(spark):
+    from osm_wikidata_spark.operators.neighborhood import multi_pass_snm
+
+    # key order: k ranks ids 1<2<3; rk reverses to 3<2<1 — both passes
+    # propose the same adjacent pairs, so n_passes=2 everywhere
+    df = spark.createDataFrame(
+        [(1, "a", "c"), (2, "b", "b"), (3, "c", "a")],
+        "id int, k string, rk string",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): (r["n_passes"], r["min_gap"])
+        for r in multi_pass_snm(df, "id", ["k", "rk"], window=2).collect()
+    }
+    assert got == {(1, 2): (2, 1), (2, 3): (2, 1)}
+
+
+def test_multi_pass_snm_second_key_adds_pairs(spark):
+    from osm_wikidata_spark.operators.neighborhood import multi_pass_snm
+
+    # pass 1 (k) order: 1,2,3,4; pass 2 (rk) order: 1,3,2,4 — the second
+    # key proposes (1,3) and (2,4), unreachable in one window-2 pass
+    df = spark.createDataFrame(
+        [(1, "a", "a"), (2, "b", "c"), (3, "c", "b"), (4, "d", "d")],
+        "id int, k string, rk string",
+    )
+    one = multi_pass_snm(df, "id", ["k"], window=2)
+    two = multi_pass_snm(df, "id", ["k", "rk"], window=2)
+    assert {(r["left_id"], r["right_id"]) for r in one.collect()} == {
+        (1, 2), (2, 3), (3, 4)
+    }
+    assert {(r["left_id"], r["right_id"]) for r in two.collect()} == {
+        (1, 2), (2, 3), (3, 4), (1, 3), (2, 4)
+    }
+
+
+def test_multi_pass_snm_validates_keys(spark):
+    from osm_wikidata_spark.operators.neighborhood import multi_pass_snm
+
+    df = spark.createDataFrame([(1, "a")], "id int, k string")
+    with pytest.raises(ValueError):
+        multi_pass_snm(df, "id", [])
