@@ -796,6 +796,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return adjusted_rand_index(a.join(b, "node"))
 
+    def q_incremental_cc(spark, sf):
+        # incremental transitive clustering, driver-gradeable: cluster a
+        # deterministic half of the edge graph, fold the other half in via
+        # contracted-graph CC — the oracle is the FULL-graph closure, so
+        # the gate certifies incremental ≡ batch on real data
+        from osm_wikidata_spark.operators.components import (
+            connected_components,
+            incremental_components,
+        )
+        from osm_wikidata_spark.operators.metablocking import (
+            block_edge_weights,
+        )
+
+        edges = (
+            block_edge_weights(_part_block_memberships(spark, sf))
+            .filter(F.col("js") >= 0.4)
+            .select("left_id", "right_id")
+        )
+        parity = (F.col("left_id") + F.col("right_id")) % 2
+        assigns = connected_components(edges.filter(parity == 0))
+        return incremental_components(assigns, edges.filter(parity == 1))
+
     def q_soft_tfidf(spark, sf):
         # SoftTFIDF (Cohen-Ravikumar-Fienberg IIWeb'03): idf-weighted
         # cosine with Jaro-Winkler soft token matching (theta=0.9) —
@@ -2325,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_cohesion": q_cluster_cohesion,
         "q_soft_tfidf": q_soft_tfidf,
         "q_rand_index": q_rand_index,
+        "q_incremental_cc": q_incremental_cc,
         "q_pii_stats": q_pii_stats,
         "q_session_stats": q_session_stats,
         "q_vocab_topk": q_vocab_topk,
@@ -2899,6 +2922,24 @@ def oracle_sql() -> dict[str, str]:
         "q_snm_pairs": _snm_pairs_sql,
         "q_snm_multipass": _snm_multipass_sql,
         "q_cluster_cohesion": _cluster_cohesion_sql,
+        # full-graph recursive closure — the incremental fold must equal it
+        "q_incremental_cc": f"""
+            WITH RECURSIVE w AS ({_meta_weights_sql}),
+            e AS (
+              SELECT left_id AS u, right_id AS v FROM w WHERE js >= 0.4
+            ),
+            nodes AS (
+              SELECT DISTINCT u AS node FROM e
+              UNION SELECT DISTINCT v FROM e
+            ),
+            bidir AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            reach AS (
+              SELECT node, node AS cur FROM nodes
+              UNION
+              SELECT r.node, b.v FROM reach r JOIN bidir b ON b.u = r.cur
+            )
+            SELECT node, min(cur) AS component FROM reach GROUP BY node
+        """,
         "q_soft_tfidf": _soft_tfidf_sql,
         "q_rand_index": f"""
             WITH lad AS (
