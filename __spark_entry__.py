@@ -796,6 +796,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return adjusted_rand_index(a.join(b, "node"))
 
+    def q_monge_elkan(spark, sf):
+        # Monge-Elkan (KDD'96): mean best-JW per left token — the
+        # unweighted ancestor of SoftTFIDF; one Arrow node, rest JVM
+        from osm_wikidata_spark.operators.scoring import monge_elkan
+
+        return monge_elkan(_part_name_pairs(spark, sf)).select(
+            "left_id", "right_id", "monge_elkan"
+        )
+
     def q_incremental_cc(spark, sf):
         # incremental transitive clustering, driver-gradeable: cluster a
         # deterministic half of the edge graph, fold the other half in via
@@ -2348,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_soft_tfidf": q_soft_tfidf,
         "q_rand_index": q_rand_index,
         "q_incremental_cc": q_incremental_cc,
+        "q_monge_elkan": q_monge_elkan,
         "q_pii_stats": q_pii_stats,
         "q_session_stats": q_session_stats,
         "q_vocab_topk": q_vocab_topk,
@@ -2941,6 +2951,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, min(cur) AS component FROM reach GROUP BY node
         """,
         "q_soft_tfidf": _soft_tfidf_sql,
+        "q_monge_elkan": """
+            WITH pairs AS (
+              SELECT l.p_partkey AS left_id, r.p_partkey AS right_id,
+                     l.p_name AS ln, r.p_name AS rn
+              FROM part l JOIN part r
+                ON l.p_brand = r.p_brand AND l.p_size = r.p_size
+               AND l.p_partkey < r.p_partkey
+            ),
+            lw AS (
+              SELECT left_id, right_id, t.w AS lt
+              FROM pairs,
+                   unnest(list_distinct(list_filter(string_split(ln, ' '),
+                                                    x -> x <> ''))) AS t(w)
+            ),
+            rw AS (
+              SELECT left_id, right_id, t.w AS rt
+              FROM pairs,
+                   unnest(list_distinct(list_filter(string_split(rn, ' '),
+                                                    x -> x <> ''))) AS t(w)
+            ),
+            best AS (
+              SELECT lw.left_id, lw.right_id, lt,
+                     max(jaro_winkler_similarity(lt, rt)) AS b
+              FROM lw JOIN rw USING (left_id, right_id)
+              GROUP BY 1, 2, 3
+            ),
+            me AS (
+              SELECT left_id, right_id, avg(b) AS me
+              FROM best GROUP BY 1, 2
+            )
+            SELECT p.left_id, p.right_id,
+                   round(coalesce(me, 0.0), 6) AS monge_elkan
+            FROM pairs p LEFT JOIN me USING (left_id, right_id)
+        """,
         "q_rand_index": f"""
             WITH lad AS (
               SELECT * FROM ({_cluster_thresholds_sql([0.4, 0.9])})

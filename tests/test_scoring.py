@@ -272,3 +272,43 @@ def test_soft_tfidf_theta_gates_weak_matches(spark):
     strict = _stf(spark, pairs, corpus, theta=0.9)
     assert strict[(1, 2)] == 0.0
     assert loose[(1, 2)] > 0.0
+
+
+def test_monge_elkan_values(spark):
+    from osm_wikidata_spark.operators.scoring import monge_elkan
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "alpha beta", "alpha beta"),   # identical -> 1.0
+            (3, 4, "alpha beta", "alpha"),        # asymmetric: avg(1.0, jw(beta,alpha))
+            (5, 6, "", "alpha"),                  # empty left -> 0.0
+        ],
+        "left_id int, right_id int, left_name string, right_name string",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): r["monge_elkan"]
+        for r in monge_elkan(pairs).collect()
+    }
+    assert got[(1, 2)] == pytest.approx(1.0)
+    from osm_wikidata_spark.operators.scoring import jaro_winkler
+
+    expect = (1.0 + round(jaro_winkler("beta", "alpha"), 6)) / 2
+    assert got[(3, 4)] == pytest.approx(expect, abs=1e-6)
+    assert got[(5, 6)] == 0.0
+
+
+def test_monge_elkan_asymmetry(spark):
+    from osm_wikidata_spark.operators.scoring import monge_elkan
+
+    fwd = spark.createDataFrame(
+        [(1, 2, "alpha", "alpha beta gamma")],
+        "left_id int, right_id int, left_name string, right_name string",
+    )
+    rev = spark.createDataFrame(
+        [(1, 2, "alpha beta gamma", "alpha")],
+        "left_id int, right_id int, left_name string, right_name string",
+    )
+    f = monge_elkan(fwd).collect()[0]["monge_elkan"]
+    r = monge_elkan(rev).collect()[0]["monge_elkan"]
+    assert f == pytest.approx(1.0)  # every left token has a perfect match
+    assert r < f                    # extra left tokens drag the mean down
