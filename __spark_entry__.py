@@ -2834,7 +2834,7 @@ def oracle_sql() -> dict[str, str]:
         intra AS (
           SELECT ca.component AS component, count(*) AS n_edges,
                  round(min(js), 6) AS min_weight,
-                 round(avg(js), 6) AS avg_weight
+                 round(sum(js), 6) / count(*) AS avg_weight
           FROM e
           JOIN comp ca ON ca.node = e.ea
           JOIN comp cb ON cb.node = e.eb

@@ -227,7 +227,18 @@ def cluster_cohesion(
         *(
             [
                 F.round(F.min("_w"), precision).alias("min_weight"),
-                F.round(F.avg("_w"), precision).alias("avg_weight"),
+                # mean = round(sum)/count, NOT round(avg): weights arrive
+                # 6dp-rounded, and the mean of 6dp multiples often lands
+                # on an exact decimal half (x.xxxxxx5) where Spark's
+                # binary-expansion HALF_UP and an oracle engine's
+                # decimal-repr rounding disagree (the q_monge_elkan
+                # divergence class).  The SUM of 6dp multiples sits within
+                # 1 ulp of the micro-unit grid — never near a half — so
+                # round(sum) absorbs ordering noise and the division then
+                # produces bit-identical doubles in both engines.
+                (
+                    F.round(F.sum("_w"), precision) / F.count("*")
+                ).alias("avg_weight"),
             ]
             if weight_col
             else []
