@@ -82,6 +82,10 @@ HEADLINE = [
     # rank) + blocking-quality triple over a 3M-pair truth set
     "q_snm_pairs",
     "q_blocking_metrics",
+    # round 4 (cont.): hybrid scorers over the 160k-pair blocked set —
+    # token-level JW through one Arrow node each
+    "q_soft_tfidf",
+    "q_monge_elkan",
 ]
 
 
