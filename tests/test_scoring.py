@@ -312,3 +312,85 @@ def test_monge_elkan_asymmetry(spark):
     r = monge_elkan(rev).collect()[0]["monge_elkan"]
     assert f == pytest.approx(1.0)  # every left token has a perfect match
     assert r < f                    # extra left tokens drag the mean down
+
+
+def test_soft_tfidf_and_monge_elkan_differential(spark):
+    """Differential check vs an independent pure-Python replica over a
+    randomized corpus (seeded): pins the argmax/norm algebra beyond the
+    fixture cases and the sf0.01 oracle corpus."""
+    import math
+    import random
+
+    from osm_wikidata_spark.operators.scoring import (
+        jaro_winkler,
+        monge_elkan,
+        soft_tfidf,
+        token_idf_dim,
+    )
+
+    rng = random.Random(427)
+    vocab = ["alpha", "alpah", "beta", "betta", "gamma", "gama", "delta",
+             "omega", "zz", "q", "longtokenname", "longtokennime"]
+    names = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+        for _ in range(60)
+    ]
+    corpus_rows = [(n,) for n in names]
+    pair_rows = [
+        (i, i + 1000, rng.choice(names), rng.choice(names)) for i in range(150)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "name string")
+    pairs = spark.createDataFrame(
+        pair_rows, "left_id int, right_id int, left_name string, right_name string"
+    )
+    idf_dim = token_idf_dim(corpus)
+
+    # pure-Python replica
+    docs = [set(n.split()) for n in names]
+    n_docs = len(docs)
+    df_counts = {}
+    for d in docs:
+        for t in d:
+            df_counts[t] = df_counts.get(t, 0) + 1
+    idf = {t: math.log((n_docs + 1.0) / (c + 1.0)) + 1.0 for t, c in df_counts.items()}
+
+    def py_soft(ln, rn, theta=0.9):
+        lt = sorted(set(x for x in ln.split() if x))
+        rt = sorted(set(x for x in rn.split() if x))
+        if not lt or not rt:
+            return 0.0
+        lnorm = math.sqrt(sum(idf.get(t, 0.0) ** 2 for t in lt))
+        rnorm = math.sqrt(sum(idf.get(t, 0.0) ** 2 for t in rt))
+        raw = 0.0
+        any_close = False
+        for a in lt:
+            best = max(
+                ((round(jaro_winkler(a, b), 6), idf.get(b, 0.0)) for b in rt),
+            )
+            if best[0] >= theta:
+                any_close = True
+                raw += idf.get(a, 0.0) * best[1] * best[0]
+        if not any_close or lnorm <= 0 or rnorm <= 0:
+            return 0.0
+        return round(raw / (lnorm * rnorm), 6)
+
+    def py_me(ln, rn):
+        lt = sorted(set(x for x in ln.split() if x))
+        rt = sorted(set(x for x in rn.split() if x))
+        if not lt or not rt:
+            return 0.0
+        return round(
+            sum(max(jaro_winkler(a, b) for b in rt) for a in lt) / len(lt), 6
+        )
+
+    got_soft = {
+        (r["left_id"], r["right_id"]): r["soft_tfidf"]
+        for r in soft_tfidf(pairs, idf_dim).collect()
+    }
+    got_me = {
+        (r["left_id"], r["right_id"]): r["monge_elkan"]
+        for r in monge_elkan(pairs).collect()
+    }
+    for i, j, ln, rn in pair_rows:
+        assert got_soft[(i, j)] == pytest.approx(py_soft(ln, rn), abs=2e-6), (ln, rn)
+        assert got_me[(i, j)] == pytest.approx(py_me(ln, rn), abs=2e-6), (ln, rn)
