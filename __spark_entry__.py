@@ -796,6 +796,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return adjusted_rand_index(a.join(b, "node"))
 
+    def q_damerau(spark, sf):
+        # true Damerau-Levenshtein (Lowrance-Wagner, unrestricted
+        # transpositions — matches DuckDB's native damerau_levenshtein):
+        # distance via one Arrow node, ratio arithmetic JVM-side
+        from osm_wikidata_spark.operators.scoring import (
+            damerau_levenshtein_udf,
+            damerau_ratio,
+        )
+
+        pairs = _part_name_pairs(spark, sf)
+        return pairs.select(
+            "left_id",
+            "right_id",
+            damerau_levenshtein_udf(
+                F.col("left_name"), F.col("right_name")
+            ).alias("dl"),
+            F.round(
+                damerau_ratio("left_name", "right_name"), 6
+            ).alias("dl_ratio"),
+        )
+
     def q_monge_elkan(spark, sf):
         # Monge-Elkan (KDD'96): mean best-JW per left token — the
         # unweighted ancestor of SoftTFIDF; one Arrow node, rest JVM
@@ -2358,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rand_index": q_rand_index,
         "q_incremental_cc": q_incremental_cc,
         "q_monge_elkan": q_monge_elkan,
+        "q_damerau": q_damerau,
         "q_pii_stats": q_pii_stats,
         "q_session_stats": q_session_stats,
         "q_vocab_topk": q_vocab_topk,
@@ -2951,6 +2973,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, min(cur) AS component FROM reach GROUP BY node
         """,
         "q_soft_tfidf": _soft_tfidf_sql,
+        "q_damerau": """
+            SELECT l.p_partkey AS left_id, r.p_partkey AS right_id,
+                   CAST(damerau_levenshtein(l.p_name, r.p_name) AS INT) AS dl,
+                   round(1.0 - CAST(damerau_levenshtein(l.p_name, r.p_name)
+                                    AS DOUBLE)
+                             / greatest(length(l.p_name), length(r.p_name)),
+                         6) AS dl_ratio
+            FROM part l JOIN part r
+              ON l.p_brand = r.p_brand AND l.p_size = r.p_size
+             AND l.p_partkey < r.p_partkey
+        """,
         "q_monge_elkan": """
             WITH pairs AS (
               SELECT l.p_partkey AS left_id, r.p_partkey AS right_id,

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, IntegerType
 
 
 def jaro(s1: str, s2: str) -> float:
@@ -394,4 +394,81 @@ def monge_elkan(
     return pairs.join(per_pair, cols, "left").select(
         *cols,
         F.round(F.coalesce(F.col("_me"), F.lit(0.0)), precision).alias(out_col),
+    )
+
+
+def damerau_levenshtein(s1: str, s2: str) -> int:
+    """TRUE Damerau-Levenshtein distance (Lowrance & Wagner 1975) —
+    unrestricted adjacent transpositions, so "CA"→"ABC" is 2 (transpose
+    then insert), not the 3 the restricted OSA variant gives.  Chosen to
+    match DuckDB's native ``damerau_levenshtein`` exactly (verified:
+    CA/ABC → 2), which makes the SQL oracle a fully independent
+    implementation.  Codepoint-level, like the JW kernel.
+    """
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0:
+        return l2
+    if l2 == 0:
+        return l1
+    maxdist = l1 + l2
+    da: dict[str, int] = {}
+    d = [[0] * (l2 + 2) for _ in range(l1 + 2)]
+    d[0][0] = maxdist
+    for i in range(l1 + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(l2 + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, l1 + 1):
+        db = 0
+        for j in range(1, l2 + 1):
+            k = da.get(s2[j - 1], 0)
+            prev_db = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,                      # substitute / match
+                d[i + 1][j] + 1,                     # insert
+                d[i][j + 1] + 1,                     # delete
+                d[k][prev_db] + (i - k - 1) + 1 + (j - prev_db - 1),
+            )
+        da[s1[i - 1]] = i
+    return d[l1 + 1][l2 + 1]
+
+
+@F.pandas_udf(IntegerType())
+def damerau_levenshtein_udf(left: pd.Series, right: pd.Series) -> pd.Series:
+    """Arrow-batched true-DL distance with the batch-wide distinct-pair
+    memo (functions/udfs.py pattern — Zipfian name data repeats pairs)."""
+    memo: dict[tuple[str, str], int | None] = {}
+    out = []
+    for a, b in zip(left, right):
+        key = (a, b)
+        if key not in memo:
+            memo[key] = (
+                None if a is None or b is None else damerau_levenshtein(a, b)
+            )
+        out.append(memo[key])
+    return pd.Series(out, dtype="Int32")
+
+
+def damerau_ratio(
+    left: str | F.Column, right: str | F.Column
+) -> F.Column:
+    """1 − true_DL / max(len) — the transposition-aware companion of
+    :func:`levenshtein_ratio` ("form 1040" vs "from 1040" scores 0.889
+    here vs 0.778 by plain Levenshtein).  Distance crosses the JVM/Python
+    boundary once (Arrow); the ratio arithmetic stays JVM-side so the
+    rounding story is identical to levenshtein_ratio's.  Both-empty → 1.0.
+    """
+    lc = F.col(left) if isinstance(left, str) else left
+    rc = F.col(right) if isinstance(right, str) else right
+    longest = F.greatest(F.length(lc), F.length(rc))
+    return F.when(longest == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - damerau_levenshtein_udf(lc, rc).cast("double") / longest
     )

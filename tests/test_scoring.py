@@ -394,3 +394,47 @@ def test_soft_tfidf_and_monge_elkan_differential(spark):
     for i, j, ln, rn in pair_rows:
         assert got_soft[(i, j)] == pytest.approx(py_soft(ln, rn), abs=2e-6), (ln, rn)
         assert got_me[(i, j)] == pytest.approx(py_me(ln, rn), abs=2e-6), (ln, rn)
+
+
+def test_damerau_levenshtein_kernel_differential():
+    """5k-case differential vs DuckDB's native damerau_levenshtein — an
+    independent implementation of the TRUE (unrestricted) DL."""
+    import random
+
+    import duckdb
+
+    from osm_wikidata_spark.operators.scoring import damerau_levenshtein
+
+    con = duckdb.connect()
+    rng = random.Random(427)
+    for _ in range(5000):
+        a = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 9)))
+        b = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 9)))
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert damerau_levenshtein(a, b) == want, (a, b)
+
+
+def test_damerau_is_true_dl_not_osa():
+    from osm_wikidata_spark.operators.scoring import damerau_levenshtein
+
+    # the canonical discriminator: OSA gives 3, true DL gives 2
+    assert damerau_levenshtein("CA", "ABC") == 2
+    assert damerau_levenshtein("ab", "ba") == 1
+    assert damerau_levenshtein("", "abc") == 3
+    assert damerau_levenshtein("kitten", "sitting") == 3
+
+
+def test_damerau_ratio_column(spark):
+    from osm_wikidata_spark.operators.scoring import damerau_ratio
+
+    df = spark.createDataFrame(
+        [("form 1040", "from 1040"), ("", ""), (None, "abc")],
+        "l string, r string",
+    )
+    got = df.select(damerau_ratio("l", "r").alias("s")).collect()
+    # one transposition over 9 chars
+    assert got[0]["s"] == pytest.approx(1 - 1 / 9)
+    assert got[1]["s"] == 1.0      # both empty -> identical
+    assert got[2]["s"] is None     # null propagates
