@@ -89,3 +89,63 @@ def test_jaro_empty_conventions(a):
     # the DuckDB/RapidFuzz convention: anything vs empty is 0, even ''
     assert jaro(a, "") == 0.0
     assert jaro("", a) == 0.0
+
+
+# --- continuous-scorer kernel invariants (continuation session) ---
+
+_SHORT = st.text(alphabet="abcdef", max_size=8)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_SHORT, _SHORT)
+def test_damerau_symmetric_and_identity(a, b):
+    from osm_wikidata_spark.operators.scoring import damerau_levenshtein as dl
+
+    assert dl(a, b) == dl(b, a)
+    assert dl(a, a) == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(_SHORT, _SHORT, _SHORT)
+def test_damerau_triangle_inequality(a, b, c):
+    """TRUE (unrestricted) DL is a metric — the triangle inequality holds.
+    The restricted OSA variant violates it (e.g. CA/AC/ABC), so this
+    property also guards against silently regressing to OSA."""
+    from osm_wikidata_spark.operators.scoring import damerau_levenshtein as dl
+
+    assert dl(a, c) <= dl(a, b) + dl(b, c)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_SHORT, _SHORT)
+def test_damerau_bounded_by_levenshtein(a, b):
+    from osm_wikidata_spark.operators.scoring import damerau_levenshtein as dl
+
+    # plain Levenshtein DP
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    lev = prev[n]
+    assert dl(a, b) <= lev
+    # and they differ by at most the number of transpositions folded in
+    assert dl(a, b) >= (lev + 1) // 2
+
+
+@settings(max_examples=300, deadline=None)
+@given(_SHORT, _SHORT)
+def test_jaro_winkler_symmetric_and_bounded(a, b):
+    from osm_wikidata_spark.operators.scoring import jaro_winkler as jw
+
+    s = jw(a, b)
+    assert 0.0 <= s <= 1.0
+    assert s == jw(b, a)
+    if a == b and a:
+        assert s == 1.0
