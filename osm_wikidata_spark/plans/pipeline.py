@@ -382,11 +382,23 @@ def run_pipeline(
     endings: list[str] | None = None,
     max_block_size: int | None = 1000,
     salt: int = 8,
+    snm_window: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full blocking → scoring → clustering run.
 
     Returns the named stage outputs; with ``run_dir`` each stage is
     checkpointed (resumable) and audited.
+
+    ``snm_window`` (opt-in, default off so existing runs are byte-stable)
+    unions a sorted-neighborhood channel over each entity's primary name
+    into the candidate set: the token/full-name/acronym channels miss
+    pairs sharing no whole token ("Smithfield"/"Smithfeld"), which a sort
+    neighborhood catches at a guaranteed N·(w−1) extra budget.  Extra
+    candidates only ADD recall — precision stays with the scoring cascade,
+    which rejects non-matches regardless of which channel proposed them.
+    Cross-channel duplicate pairs collapse via the same min-block_key
+    lineage rule salted_pair_join uses ("«snm»" sorts after real tokens,
+    so token lineage wins when both channels propose a pair).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
 
@@ -403,11 +415,44 @@ def run_pipeline(
     append_audit(block_skew_metrics(blocks, run_id), run_dir, "blocks")
 
     def _pairs() -> DataFrame:
-        p = salted_pair_join(blocks, blocks, salt=salt)
-        return p.filter(F.col("left_id") < F.col("right_id"))
+        p = salted_pair_join(blocks, blocks, salt=salt).filter(
+            F.col("left_id") < F.col("right_id")
+        )
+        if snm_window is not None:
+            from osm_wikidata_spark.operators.neighborhood import (
+                sorted_neighborhood_pairs,
+            )
+
+            snm = sorted_neighborhood_pairs(
+                entities.select(
+                    F.col("conv_id"),
+                    F.element_at(F.col("names"), 1).alias("primary_name"),
+                ),
+                "conv_id",
+                "primary_name",
+                window=snm_window,
+            ).select(
+                F.least("left_id", "right_id").alias("left_id"),
+                F.greatest("left_id", "right_id").alias("right_id"),
+                F.lit("«snm»").alias("block_key"),
+            )
+            p = (
+                p.unionByName(snm)
+                .groupBy("left_id", "right_id")
+                .agg(F.min("block_key").alias("block_key"))
+            )
+        return p
 
     pairs = stage(
-        spark, run_dir, "pairs", _pairs, params={"salt": salt, "max_block_size": max_block_size}
+        spark,
+        run_dir,
+        "pairs",
+        _pairs,
+        params={
+            "salt": salt,
+            "max_block_size": max_block_size,
+            "snm_window": snm_window,
+        },
     )
     append_audit(partition_metrics(pairs, run_id, "pairs"), run_dir, "partitions")
 

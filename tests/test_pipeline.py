@@ -228,3 +228,30 @@ def test_ctx_fp_null_vs_empty_no_alias(spark):
     rows = score_pairs(pairs, entities).collect()
     # b's "house" ending must survive rehydration: the pair merges via trim
     assert len(rows) == 1 and rows[0]["matched"] is True
+
+
+def test_pipeline_snm_channel_superset_and_f1(spark):
+    """Opt-in SNM channel: candidate set is a superset of the default
+    channels' (extra recall only), F1 stays >= 0.99 (precision lives in
+    the scorer), and the min-block_key lineage rule keeps token lineage
+    when both channels propose a pair."""
+    transcripts, truth = synth_transcripts(spark, n_conversations=87, turns_per_conv=3)
+    base = run_pipeline(spark, transcripts)
+    with_snm = run_pipeline(spark, transcripts, snm_window=4)
+    base_pairs = {
+        (r["left_id"], r["right_id"]) for r in base["pairs"].collect()
+    }
+    snm_rows = with_snm["pairs"].collect()
+    snm_pairs = {(r["left_id"], r["right_id"]) for r in snm_rows}
+    assert base_pairs <= snm_pairs
+    assert len(snm_pairs) > len(base_pairs)  # the channel added candidates
+    # lineage: a pair proposed by both channels keeps its token block_key
+    keys = {(r["left_id"], r["right_id"]): r["block_key"] for r in snm_rows}
+    for p in base_pairs:
+        assert keys[p] != "«snm»", p
+    components = {
+        r["conv_id"]: r["component"] for r in with_snm["components"].collect()
+    }
+    truth_map = {r["conv_id"]: r["group_id"] for r in truth.collect()}
+    f1 = _pairwise_f1(components, truth_map)
+    assert f1 >= 0.99, f"pairwise F1 with SNM {f1:.4f} < 0.99"
