@@ -651,6 +651,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairwise_cluster_metrics(assigns)
 
+    def q_v_measure(spark, sf):
+        # entropy-based clustering diagnostics (Rosenberg-Hirschberg
+        # EMNLP'07): homogeneity (bad merges) vs completeness (missed
+        # merges) — same contingency-cell substrate as q_cluster_eval
+        from osm_wikidata_spark.operators.evaluation import v_measure
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text", "source")
+        dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+        )
+        corpus = docs.unionByName(dups)
+        mapping = dedup.duplicate_mapping(corpus)
+        assigns = (
+            corpus.select("doc_id", "source")
+            .join(mapping.select("doc_id", "canonical_id"), "doc_id", "left")
+            .select(
+                F.coalesce("canonical_id", "doc_id").alias("component"),
+                F.col("source").alias("truth"),
+            )
+        )
+        return v_measure(assigns)
+
     def q_cluster_thresholds(spark, sf):
         # Splink-style threshold ladder: CC at several score cutoffs over
         # the meta-blocking weight graph, fixed node universe
@@ -2380,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_cc": q_incremental_cc,
         "q_monge_elkan": q_monge_elkan,
         "q_damerau": q_damerau,
+        "q_v_measure": q_v_measure,
         "q_pii_stats": q_pii_stats,
         "q_session_stats": q_session_stats,
         "q_vocab_topk": q_vocab_topk,
@@ -2983,6 +3006,63 @@ def oracle_sql() -> dict[str, str]:
             FROM part l JOIN part r
               ON l.p_brand = r.p_brand AND l.p_size = r.p_size
              AND l.p_partkey < r.p_partkey
+        """,
+        "q_v_measure": r"""
+            WITH corpus AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text, source FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            fp AS (
+              SELECT doc_id, source,
+                     md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+              FROM corpus
+            ),
+            assign AS (
+              SELECT min(doc_id) OVER (PARTITION BY fingerprint) AS component,
+                     source AS truth
+              FROM fp
+            ),
+            cells AS (
+              SELECT component, truth, count(*) AS n
+              FROM assign GROUP BY 1, 2
+            ),
+            ps AS (SELECT component, sum(n) AS np FROM cells GROUP BY 1),
+            ts AS (SELECT truth, sum(n) AS nt FROM cells GROUP BY 1),
+            tot AS (SELECT sum(n) AS nn FROM cells),
+            cond AS (
+              SELECT
+                -sum((CAST(n AS DOUBLE) / nn) * ln(CAST(n AS DOUBLE) / np))
+                  AS h_t_p,
+                -sum((CAST(n AS DOUBLE) / nn) * ln(CAST(n AS DOUBLE) / nt))
+                  AS h_p_t
+              FROM cells JOIN ps USING (component) JOIN ts USING (truth), tot
+            ),
+            ht AS (
+              SELECT -sum((CAST(nt AS DOUBLE) / nn)
+                          * ln(CAST(nt AS DOUBLE) / nn)) AS h_true
+              FROM ts, tot
+            ),
+            hp AS (
+              SELECT -sum((CAST(np AS DOUBLE) / nn)
+                          * ln(CAST(np AS DOUBLE) / nn)) AS h_pred
+              FROM ps, tot
+            ),
+            hc AS (
+              SELECT
+                CASE WHEN h_true > 0 THEN 1.0 - h_t_p / h_true
+                     ELSE 1.0 END AS hom,
+                CASE WHEN h_pred > 0 THEN 1.0 - h_p_t / h_pred
+                     ELSE 1.0 END AS com
+              FROM cond, ht, hp
+            )
+            SELECT round(hom, 6) AS homogeneity,
+                   round(com, 6) AS completeness,
+                   round(CASE WHEN hom + com > 0
+                         THEN 2 * hom * com / (hom + com)
+                         ELSE 0.0 END, 6) AS v_measure
+            FROM hc
         """,
         "q_monge_elkan": """
             WITH pairs AS (

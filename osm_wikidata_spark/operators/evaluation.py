@@ -334,3 +334,85 @@ def adjusted_rand_index(
             precision,
         ).alias("ari"),
     )
+
+
+def v_measure(
+    assignments: DataFrame,
+    pred_col: str = "component",
+    true_col: str = "truth",
+    precision: int = 6,
+) -> DataFrame:
+    """Homogeneity / completeness / V-measure (Rosenberg & Hirschberg,
+    EMNLP'07) — the entropy-based clustering diagnostics that separate the
+    two failure modes pairwise F1 mixes together: homogeneity drops when a
+    cluster MIXES truths (bad merges), completeness drops when a truth is
+    SPLIT across clusters (missed merges).
+
+        homogeneity  = 1 − H(truth | pred) / H(truth)
+        completeness = 1 − H(pred | truth) / H(pred)
+        v            = harmonic mean of the two
+
+    Degenerate conventions (matching scikit-learn): a side with zero
+    entropy (single class / single cluster) defines its ratio as 1.0; if
+    homogeneity + completeness = 0, v = 0.0.
+
+    Same scale shape as :func:`pairwise_cluster_metrics` /
+    :func:`adjusted_rand_index`: one shuffle on the contingency cell, two
+    rollups, 1-row combine — entropies are plain Σ (n/N)·ln(n/N) sums over
+    cell/rollup counts, never per-pair work.
+    """
+    cells = assignments.groupBy(pred_col, true_col).agg(
+        F.count("*").alias("n_cell")
+    )
+    pred_sizes = cells.groupBy(pred_col).agg(F.sum("n_cell").alias("n_pred"))
+    true_sizes = cells.groupBy(true_col).agg(F.sum("n_cell").alias("n_true"))
+    n_total = cells.agg(F.sum("n_cell").alias("n_items"))
+
+    def _h(sizes: DataFrame, col: str, out: str) -> DataFrame:
+        # H = -Σ (n/N) ln(n/N); N rides in as a 1-row broadcast
+        return sizes.crossJoin(F.broadcast(n_total)).agg(
+            (-F.sum(
+                (F.col(col).cast("double") / F.col("n_items"))
+                * F.log(F.col(col).cast("double") / F.col("n_items"))
+            )).alias(out)
+        )
+
+    # conditional entropies from the cells joined to the opposite rollup:
+    # H(truth|pred) = -Σ_cells (n/N) ln(n_cell / n_pred)
+    joined = (
+        cells.join(pred_sizes, pred_col)
+        .join(true_sizes, true_col)
+        .crossJoin(F.broadcast(n_total))
+    )
+    cond = joined.agg(
+        (-F.sum(
+            (F.col("n_cell").cast("double") / F.col("n_items"))
+            * F.log(F.col("n_cell").cast("double") / F.col("n_pred"))
+        )).alias("h_true_given_pred"),
+        (-F.sum(
+            (F.col("n_cell").cast("double") / F.col("n_items"))
+            * F.log(F.col("n_cell").cast("double") / F.col("n_true"))
+        )).alias("h_pred_given_true"),
+    )
+    stats = (
+        cond.crossJoin(F.broadcast(_h(true_sizes, "n_true", "h_true")))
+        .crossJoin(F.broadcast(_h(pred_sizes, "n_pred", "h_pred")))
+    )
+    hom = F.when(
+        F.col("h_true") > 0,
+        F.lit(1.0) - F.col("h_true_given_pred") / F.col("h_true"),
+    ).otherwise(F.lit(1.0))
+    com = F.when(
+        F.col("h_pred") > 0,
+        F.lit(1.0) - F.col("h_pred_given_true") / F.col("h_pred"),
+    ).otherwise(F.lit(1.0))
+    with_hc = stats.select(hom.alias("_hom"), com.alias("_com"))
+    v = F.when(
+        F.col("_hom") + F.col("_com") > 0,
+        2 * F.col("_hom") * F.col("_com") / (F.col("_hom") + F.col("_com")),
+    ).otherwise(F.lit(0.0))
+    return with_hc.select(
+        F.round("_hom", precision).alias("homogeneity"),
+        F.round("_com", precision).alias("completeness"),
+        F.round(v, precision).alias("v_measure"),
+    )

@@ -143,3 +143,35 @@ def test_ari_degenerate_singletons(spark):
     # both all-singletons: max == expected == 0 -> defined 1.0
     r = _ari(spark, [(1, 10), (2, 20), (3, 30)])
     assert r["ari"] == 1.0
+
+
+def _vm(spark, rows):
+    from osm_wikidata_spark.operators.evaluation import v_measure
+
+    df = spark.createDataFrame(rows, "component int, truth string")
+    return v_measure(df).collect()[0]
+
+
+def test_v_measure_perfect_clustering(spark):
+    r = _vm(spark, [(1, "a"), (1, "a"), (2, "b"), (3, "c")])
+    assert (r["homogeneity"], r["completeness"], r["v_measure"]) == (1.0, 1.0, 1.0)
+
+
+def test_v_measure_hand_computed(spark):
+    # pred=[0,0,1,2], truth=[a,a,b,b]: every cluster is pure -> hom=1.
+    # H(K) = -(.5 ln.5 + .25 ln.25 + .25 ln.25) = 1.5 ln2;
+    # H(K|C) = class b split across two singleton clusters = .5 ln2
+    # -> completeness = 1 - (.5/1.5) = 2/3, v = 2*1*(2/3)/(5/3) = 0.8
+    r = _vm(spark, [(0, "a"), (0, "a"), (1, "b"), (2, "b")])
+    assert r["homogeneity"] == pytest.approx(1.0)
+    assert r["completeness"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["v_measure"] == pytest.approx(0.8, abs=1e-6)
+
+
+def test_v_measure_single_cluster_mixed(spark):
+    # one cluster, two truths: homogeneity < 1, completeness = 1
+    # (H(pred)=0 -> convention 1.0)
+    r = _vm(spark, [(1, "a"), (1, "b")])
+    assert r["homogeneity"] == 0.0
+    assert r["completeness"] == 1.0
+    assert r["v_measure"] == 0.0
