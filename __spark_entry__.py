@@ -651,6 +651,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairwise_cluster_metrics(assigns)
 
+    def q_gram_cosine(spark, sf):
+        # char-3-gram TF-IDF cosine (the string-grouper sparse-vector
+        # fuzzy-match pattern): the family's only fully-JVM fuzzy scorer —
+        # grams, idf join, and cosine all inside whole-stage codegen
+        from osm_wikidata_spark.operators.scoring import (
+            chargram_cosine,
+            chargram_idf_dim,
+        )
+
+        dim = chargram_idf_dim(_t(spark, sf, "part"), text_col="p_name")
+        return chargram_cosine(_part_name_pairs(spark, sf), dim).select(
+            "left_id", "right_id", "gram_cosine"
+        )
+
     def q_v_measure(spark, sf):
         # entropy-based clustering diagnostics (Rosenberg-Hirschberg
         # EMNLP'07): homogeneity (bad merges) vs completeness (missed
@@ -2403,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_monge_elkan": q_monge_elkan,
         "q_damerau": q_damerau,
         "q_v_measure": q_v_measure,
+        "q_gram_cosine": q_gram_cosine,
         "q_pii_stats": q_pii_stats,
         "q_session_stats": q_session_stats,
         "q_vocab_topk": q_vocab_topk,
@@ -3006,6 +3021,63 @@ def oracle_sql() -> dict[str, str]:
             FROM part l JOIN part r
               ON l.p_brand = r.p_brand AND l.p_size = r.p_size
              AND l.p_partkey < r.p_partkey
+        """,
+        "q_gram_cosine": """
+            WITH pairs AS (
+              SELECT l.p_partkey AS left_id, r.p_partkey AS right_id,
+                     l.p_name AS ln, r.p_name AS rn
+              FROM part l JOIN part r
+                ON l.p_brand = r.p_brand AND l.p_size = r.p_size
+               AND l.p_partkey < r.p_partkey
+            ),
+            corpus AS (
+              SELECT list_distinct([substring(p_name, CAST(i AS INT), 3)
+                                    for i in generate_series(1, length(p_name) - 2)])
+                     AS grams
+              FROM part
+            ),
+            dfreq AS (
+              SELECT g AS gram, count(*) AS df
+              FROM corpus, unnest(grams) AS t(g) GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n_docs FROM part),
+            idf AS (
+              SELECT gram, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf
+              FROM dfreq, n
+            ),
+            sides AS (
+              SELECT left_id, right_id,
+                     list_distinct([substring(ln, CAST(i AS INT), 3)
+                                    for i in generate_series(1, length(ln) - 2)]) AS lg,
+                     list_distinct([substring(rn, CAST(i AS INT), 3)
+                                    for i in generate_series(1, length(rn) - 2)]) AS rg
+              FROM pairs
+            ),
+            ex AS (
+              SELECT left_id, right_id, u.g AS gram,
+                     list_contains(lg, u.g) AND list_contains(rg, u.g) AS shared,
+                     list_contains(lg, u.g) AS in_l,
+                     list_contains(rg, u.g) AS in_r
+              FROM sides, unnest(list_distinct(list_cat(lg, rg))) AS u(g)
+            ),
+            agg AS (
+              SELECT left_id, right_id,
+                sum(CASE WHEN shared THEN coalesce(idf, 0.0) * coalesce(idf, 0.0)
+                         ELSE 0.0 END) AS dot,
+                sum(CASE WHEN in_l THEN coalesce(idf, 0.0) * coalesce(idf, 0.0)
+                         ELSE 0.0 END) AS l2,
+                sum(CASE WHEN in_r THEN coalesce(idf, 0.0) * coalesce(idf, 0.0)
+                         ELSE 0.0 END) AS r2
+              FROM ex LEFT JOIN idf USING (gram)
+              GROUP BY left_id, right_id
+            )
+            -- left join back to pairs: Spark's explode_outer keeps pairs
+            -- whose gram union is empty (score 0.0); bare unnest drops them
+            SELECT p.left_id, p.right_id,
+              round(CASE WHEN l2 > 0 AND r2 > 0
+                    THEN dot / (sqrt(l2) * sqrt(r2)) ELSE 0.0 END,
+                    6) AS gram_cosine
+            FROM pairs p LEFT JOIN agg USING (left_id, right_id)
         """,
         "q_v_measure": r"""
             WITH corpus AS (

@@ -472,3 +472,98 @@ def damerau_ratio(
         F.lit(1.0)
         - damerau_levenshtein_udf(lc, rc).cast("double") / longest
     )
+
+
+def chargram_idf_dim(
+    docs: DataFrame,
+    text_col: str = "name",
+    n: int = 3,
+) -> DataFrame:
+    """(gram, idf) dictionary over character n-grams — the
+    :func:`token_idf_dim` analog at sub-word granularity (same sklearn
+    smoothing).  Char grams survive typos and concatenations that break
+    whole-token matching; the dim is alphabet^n-bounded, far smaller than
+    a token vocabulary at web scale, so downstream joins broadcast.
+    """
+    grams = docs.select(
+        F.explode(F.array_distinct(_chargrams(F.col(text_col), n))).alias("gram")
+    )
+    df_counts = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    return df_counts.crossJoin(F.broadcast(total)).select(
+        "gram",
+        (
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+
+
+def _chargrams(col: F.Column, n: int) -> F.Column:
+    """All length-``n`` substrings, JVM-side: sequence + transform +
+    substring (empty array for strings shorter than ``n``)."""
+    return F.when(
+        F.length(col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - (n - 1)),
+            lambda i: col.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def chargram_cosine(
+    pairs: DataFrame,
+    idf_dim: DataFrame,
+    left_col: str = "left_name",
+    right_col: str = "right_name",
+    n: int = 3,
+    precision: int = 6,
+    out_col: str = "gram_cosine",
+    default_idf: float = 0.0,
+) -> DataFrame:
+    """TF-IDF cosine over distinct character n-grams — the string-grouper
+    / sparse-vector fuzzy-match pattern: with binary tf, the dot product
+    is Σ idf(g)² over SHARED grams and the norms are per-side Σ idf².
+    Catches typos ("goldenrod"/"goldenrd" share 6 of 7 grams) with ZERO
+    Python in the hot path — grams, idf join, and cosine are all JVM
+    expressions inside whole-stage codegen, making this the cheapest
+    fuzzy scorer in the family (JW/DL cross Arrow; this doesn't).
+
+    Plan: one |A∪B|-gram explode per pair, one UNHINTED vocabulary join,
+    one per-pair aggregation — the :func:`idf_token_overlap` shape with a
+    cosine instead of a Jaccard combine.
+    """
+    lg = F.array_distinct(_chargrams(F.col(left_col), n))
+    rg = F.array_distinct(_chargrams(F.col(right_col), n))
+    with_arrays = pairs.select("*", lg.alias("_lg"), rg.alias("_rg"))
+    exploded = with_arrays.select(
+        *pairs.columns,
+        "_lg",
+        "_rg",
+        F.explode_outer(F.array_union(F.col("_lg"), F.col("_rg"))).alias("gram"),
+    ).select(
+        *pairs.columns,
+        "gram",
+        (
+            F.array_contains(F.col("_lg"), F.col("gram"))
+            & F.array_contains(F.col("_rg"), F.col("gram"))
+        ).alias("_shared"),
+        F.array_contains(F.col("_lg"), F.col("gram")).alias("_in_l"),
+        F.array_contains(F.col("_rg"), F.col("gram")).alias("_in_r"),
+    )
+    joined = exploded.join(idf_dim, "gram", "left").withColumn(
+        "_idf", F.coalesce(F.col("idf"), F.lit(float(default_idf)))
+    )
+    sq = F.col("_idf") * F.col("_idf")
+    agg = joined.groupBy(*pairs.columns).agg(
+        F.sum(F.when(F.col("_shared"), sq).otherwise(F.lit(0.0))).alias("_dot"),
+        F.sum(F.when(F.col("_in_l"), sq).otherwise(F.lit(0.0))).alias("_l2"),
+        F.sum(F.when(F.col("_in_r"), sq).otherwise(F.lit(0.0))).alias("_r2"),
+    )
+    score = F.when(
+        (F.col("_l2") > 0) & (F.col("_r2") > 0),
+        F.col("_dot") / (F.sqrt("_l2") * F.sqrt("_r2")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        *pairs.columns, F.round(score, precision).alias(out_col)
+    )

@@ -438,3 +438,55 @@ def test_damerau_ratio_column(spark):
     assert got[0]["s"] == pytest.approx(1 - 1 / 9)
     assert got[1]["s"] == 1.0      # both empty -> identical
     assert got[2]["s"] is None     # null propagates
+
+
+def test_chargram_cosine_values(spark):
+    from osm_wikidata_spark.operators.scoring import (
+        chargram_cosine,
+        chargram_idf_dim,
+    )
+
+    corpus = spark.createDataFrame(
+        [("goldenrod lace",), ("goldenrd lace",), ("navy wheat",)], "name string"
+    )
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "goldenrod", "goldenrd"),   # typo: most grams shared
+            (3, 4, "goldenrod", "goldenrod"),  # identical -> 1.0
+            (5, 6, "navy", "lace"),            # disjoint grams -> 0.0
+            (7, 8, "ab", "xy"),                # too short for 3-grams -> 0.0
+        ],
+        "left_id int, right_id int, left_name string, right_name string",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): r["gram_cosine"]
+        for r in chargram_cosine(pairs, chargram_idf_dim(corpus)).collect()
+    }
+    assert got[(3, 4)] == pytest.approx(1.0)
+    assert 0.5 < got[(1, 2)] < 1.0
+    assert got[(5, 6)] == 0.0
+    assert got[(7, 8)] == 0.0
+
+
+def test_chargram_cosine_is_pure_jvm(spark):
+    """The family's zero-Python fuzzy scorer: no ArrowEvalPython, no
+    BatchEvalPython anywhere in the plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from osm_wikidata_spark.operators.scoring import (
+        chargram_cosine,
+        chargram_idf_dim,
+    )
+
+    corpus = spark.createDataFrame([("abcdef",), ("bcdefg",)], "name string")
+    pairs = spark.createDataFrame(
+        [(1, 2, "abcdef", "bcdefg")],
+        "left_id int, right_id int, left_name string, right_name string",
+    )
+    df = chargram_cosine(pairs, chargram_idf_dim(corpus))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
