@@ -86,6 +86,9 @@ HEADLINE = [
     # token-level JW through one Arrow node each
     "q_soft_tfidf",
     "q_monge_elkan",
+    # the zero-Python fuzzy scorer (chargram TF-IDF cosine): the JVM
+    # cost floor the Arrow-crossing scorers are judged against
+    "q_gram_cosine",
 ]
 
 
