@@ -651,6 +651,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairwise_cluster_metrics(assigns)
 
+    def q_fs_posterior_decisions(spark, sf):
+        # the INTENDED Fellegi-Sunter chain end-to-end: EM-fitted pattern
+        # weights broadcast onto pairs (score_pairs_fs), three-way
+        # decision rule on the log2 Bayes factor, per-band pair counts.
+        # Oracle: the unrolled-EM SQL's pattern table already carries
+        # n_pairs per pattern, so SQL aggregates patterns while Spark
+        # aggregates actual pair rows — equal by construction, and the
+        # equality certifies the pair-level broadcast path
+        from osm_wikidata_spark.operators.linkage import (
+            comparison_vectors,
+            fellegi_sunter_em,
+            fs_decisions,
+            score_pairs_fs,
+        )
+        from osm_wikidata_spark.operators.scoring import score_name_pairs
+
+        cv = comparison_vectors(
+            score_name_pairs(_part_name_pairs(spark, sf)), _FS_BANDS
+        ).select(
+            "left_id",
+            "right_id",
+            F.col("gamma_lev_ratio").alias("g_lev"),
+            F.col("gamma_jaro_winkler").alias("g_jw"),
+            F.col("gamma_token_overlap").alias("g_tok"),
+        )
+        gcols = ["g_lev", "g_jw", "g_tok"]
+        patterns, _params = fellegi_sunter_em(
+            cv.select(*gcols), gcols, [3, 3, 3], n_iter=_FS_ITER
+        )
+        scored = score_pairs_fs(cv, patterns, gcols)
+        return (
+            fs_decisions(scored, lower=0.0, upper=4.0)
+            .groupBy("decision")
+            .agg(F.count("*").alias("n_pairs"))
+        )
+
     def q_gram_cosine(spark, sf):
         # char-3-gram TF-IDF cosine (the string-grouper sparse-vector
         # fuzzy-match pattern): the family's only fully-JVM fuzzy scorer —
@@ -2418,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_damerau": q_damerau,
         "q_v_measure": q_v_measure,
         "q_gram_cosine": q_gram_cosine,
+        "q_fs_posterior_decisions": q_fs_posterior_decisions,
         "q_pii_stats": q_pii_stats,
         "q_session_stats": q_session_stats,
         "q_vocab_topk": q_vocab_topk,
@@ -3210,6 +3247,14 @@ def oracle_sql() -> dict[str, str]:
         "q_review_pairs": _review_pairs_sql,
         "q_pair_scores": _pair_scores_sql,
         "q_fs_em": _fs_em_sql(),
+        "q_fs_posterior_decisions": f"""
+            SELECT CASE WHEN match_weight >= 4.0 THEN 'link'
+                        WHEN match_weight < 0.0 THEN 'non_link'
+                        ELSE 'possible' END AS decision,
+                   CAST(sum(n_pairs) AS BIGINT) AS n_pairs
+            FROM ({_fs_em_sql()})
+            GROUP BY 1
+        """,
         "q_meta_weights": _meta_weights_sql,
         "q_meta_cnp": _meta_cnp_sql,
         "q_idf_overlap": _idf_overlap_sql,
