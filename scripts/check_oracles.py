@@ -39,6 +39,11 @@ def _canon(v) -> str:
             return "nan"
         return f"{v:.9g}"
     if isinstance(v, Decimal):
+        # integral Decimals canonicalise as exact ints (a DECIMAL 2 must
+        # match a BIGINT 2, not ride through float formatting); fractional
+        # ones fall back to the float form used for DOUBLE columns
+        if v == v.to_integral_value():
+            return str(int(v))
         return f"{float(v):.9g}"
     if isinstance(v, datetime.datetime):
         return v.isoformat()
@@ -47,6 +52,30 @@ def _canon(v) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     return str(v)
+
+
+# Oracle result columns must stay inside the engine-neutral type set: the
+# driver's canonicalizer diverges from ours on anything engine-specific
+# (DuckDB HUGEINT from an uncast window SUM(), DECIMAL, tz-aware
+# timestamps) — exactly the class that silently failed q_pack_sequences /
+# q_sessionize in round 4 while the replica's Decimal→float coercion
+# reported green.  List element types are checked recursively.
+_ALLOWED_ORACLE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+}
+
+
+def bad_oracle_type_cols(cols: list[str], types: list) -> list[str]:
+    """Columns whose DuckDB type is outside the engine-neutral set."""
+    bad = []
+    for c, t in zip(cols, types):
+        base = str(t).upper().strip()
+        while base.endswith("[]"):
+            base = base[:-2].strip()
+        if base not in _ALLOWED_ORACLE_TYPES:
+            bad.append(f"{c}:{t}")
+    return bad
 
 
 def _fingerprint(cols: list[str], rows: list[tuple]) -> tuple:
@@ -113,10 +142,20 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = [c.lower() for c in rel.columns]
+            d_types = list(rel.types)
             d_rows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        bad_types = bad_oracle_type_cols(d_cols, d_types)
+        if bad_types:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: engine-specific oracle column types "
+                f"{bad_types} — cast to BIGINT/DOUBLE/VARCHAR/... in the "
+                "oracle SQL (driver canonicalization diverges on these)"
+            )
             continue
         if sorted(s_cols) != sorted(d_cols):
             failures.append(name)
