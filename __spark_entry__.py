@@ -126,7 +126,11 @@ def _sql_values(rows: list[tuple], cols: str) -> str:
             return "NULL"
         if isinstance(v, bool):
             return "true" if v else "false"
-        if isinstance(v, (int, float)):
+        if isinstance(v, float):
+            # bare float literals type as DECIMAL in DuckDB — cast so the
+            # oracle column crosses Arrow as DOUBLE like the Spark side
+            return f"CAST({v!r} AS DOUBLE)"
+        if isinstance(v, int):
             return str(v)
         return "'" + str(v).replace("'", "''") + "'"
 
@@ -4593,7 +4597,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'Q' || n_nationkey AS qid, n_name AS label_en,
                    'Q6256' AS instance_of,
                    (n_nationkey % 3 = 0) AS is_nhle,
-                   n_nationkey + 0.5 AS lat, n_regionkey + 0.25 AS lon
+                   CAST(n_nationkey + 0.5 AS DOUBLE) AS lat,
+                   CAST(n_regionkey + 0.25 AS DOUBLE) AS lon
             FROM nation
         """,
         "q_wiki_extracts": """

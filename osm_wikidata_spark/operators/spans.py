@@ -12,20 +12,31 @@ corpus are flagged, and per document the flagged windows are merged into
 maximal spans (the cut/drop list for the downstream rewrite).
 
 Exactness contract: windows are keyed on their literal text, so a flagged
-span IS a verbatim repeat (no hash false positives) and every repeated
+span IS a verbatim repeat (no hash false positives), and every repeated
 span of at least ``window + stride - 1`` words is guaranteed to contain a
-flagged window at any alignment (a repeat shorter than ``window`` words
-is invisible by construction — that is the approximation, and
-``window``/``stride`` are the knobs).  At corpus scale swap the join key
+flagged probe window AT ANY ALIGNMENT.  The guarantee holds because the
+two sides sample differently: the COUNT side keys every window (stride 1),
+so two copies of the same content share window texts no matter how their
+start positions differ mod ``stride``; the PROBE side samples each
+document's positions at ``stride`` spacing, and a repeat of
+``window + stride - 1`` words covers at least one probe position in every
+copy.  (Counting at stride spacing instead — the round-4 behaviour —
+silently missed copies whose alignments differ mod stride, i.e. most
+cross-document repeats for stride 10.)  A repeat shorter than ``window``
+words is invisible by construction — that is the approximation, and
+``window``/``stride`` are the knobs.  At corpus scale swap the join key
 for ``xxhash64(window_text)`` to shrink the shuffle (collision risk
 2^-64; same plan shape) — the same note as contamination.py.
 
-Scale shape: one posexplode (~len/stride rows per doc), one count
-aggregation on the window key, one hash join back to positions, then a
-per-document gaps-and-islands merge (two window functions over the doc
-partition).  The count side defuses its own hot keys: a boilerplate
-window occurring 10^6 times is ONE count row; the join fan-out equals the
-number of flagged positions, which is the size of the answer itself.
+Scale shape: the count side explodes one window per WORD (stride no
+longer discounts it — that is the price of the alignment guarantee, and
+it partial-aggregates map-side before the one hash shuffle on the window
+key); the probe side explodes ~len/stride positions per doc, joins to the
+flagged keys, then a per-document gaps-and-islands merge (two window
+functions over the doc partition).  The count side defuses its own hot
+keys: a boilerplate window occurring 10^6 times is ONE count row; the
+join fan-out equals the number of flagged probe positions, which is the
+size of the answer itself.
 """
 
 from __future__ import annotations
