@@ -3760,8 +3760,15 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             ), pc AS (
               SELECT doc_id, p['s'] AS start, p['s'] + 7 AS e, p['win'] AS win FROM pos
+            ), aw AS (
+              -- count side keys EVERY position (stride 1): copies at any
+              -- alignment mod stride share window texts
+              SELECT unnest([array_to_string(w[i:i+7], ' ')
+                             FOR i IN generate_series(1, greatest(len(w) - 7, 1))
+                             IF i <= len(w) - 7]) AS win
+              FROM d
             ), c AS (
-              SELECT win FROM pc GROUP BY win HAVING count(*) >= 2
+              SELECT win FROM aw GROUP BY win HAVING count(*) >= 2
             ), f AS (
               SELECT doc_id, start, e FROM pc JOIN c USING (win)
             ), g AS (

@@ -58,11 +58,14 @@ def duplicate_spans(
 
     Returns ``(doc_id, span_start, span_end, n_windows)`` — 1-based
     inclusive WORD indexes into the normalised text, one row per maximal
-    run of flagged windows (overlapping or adjacent windows merge), with
-    the number of flagged windows merged into the run.  A window is
-    flagged when its exact text occurs ``min_count``-or-more times across
-    all positions of all documents (within-document repeats count).
-    Documents shorter than ``window`` words emit nothing.
+    run of flagged probe windows (overlapping or adjacent windows merge),
+    with the number of flagged probe windows merged into the run.  A
+    window is flagged when its exact text occurs ``min_count``-or-more
+    times across ALL word positions of all documents (stride 1 — so
+    copies at any alignment share keys; within-document repeats count);
+    probe positions, and therefore reported span extents, are
+    ``stride``-granular.  Documents shorter than ``window`` words emit
+    nothing.
     """
     if stride < 1 or window < 1:
         raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
@@ -72,17 +75,21 @@ def duplicate_spans(
     # NB: sequence(1, 0) would DESCEND, so the upper bound clamps to 1 and
     # the i <= limit predicate empties short docs instead
     limit = F.size(words) - (window - 1)
-    wins = F.transform(
-        F.filter(
-            F.sequence(F.lit(1), F.greatest(limit, F.lit(1))),
-            lambda i: ((i - 1) % stride == 0) & (i <= limit),
-        ),
-        lambda i: F.struct(
-            i.alias("start"), F.array_join(F.slice(words, i, window), " ").alias("win")
-        ),
-    )
+
+    def _wins(step: int):
+        return F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(limit, F.lit(1))),
+                lambda i: ((i - 1) % step == 0) & (i <= limit),
+            ),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.array_join(F.slice(words, i, window), " ").alias("win"),
+            ),
+        )
+
     positions = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(wins).alias("s")
+        F.col(id_col).alias("doc_id"), F.explode(_wins(stride)).alias("s")
     ).select(
         "doc_id",
         F.col("s.start").alias("start"),
@@ -90,8 +97,16 @@ def duplicate_spans(
         F.col("s.win").alias("win"),
     )
 
+    # count side at stride 1: copies of a repeat share window texts no
+    # matter how their start positions differ mod stride (the probe-side
+    # lattice alone would miss misaligned copies)
+    all_wins = (
+        positions.select("win")
+        if stride == 1
+        else docs.select(F.explode(_wins(1)).alias("s")).select(F.col("s.win").alias("win"))
+    )
     counts = (
-        positions.groupBy("win")
+        all_wins.groupBy("win")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
         .select("win")

@@ -958,6 +958,32 @@ def test_duplicate_spans_within_doc_and_short_doc(spark):
     )
 
 
+def test_duplicate_spans_misaligned_copies(spark):
+    """Copies whose start positions differ mod stride are still flagged:
+    the count side keys every position (stride 1), so the probe windows
+    inside each copy find their texts repeated regardless of alignment.
+    (Round-4 behaviour counted only lattice positions and missed these.)"""
+    from osm_wikidata_spark.operators import spans
+
+    common = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 u3 u4 {common} v1 v2"),  # common at words 5..14 (odd start)
+            (2, f"w1 w2 w3 {common}"),            # common at words 4..13 (even start)
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in spans.duplicate_spans(docs, window=4, stride=2).collect()
+    }
+    # doc1 probe lattice (odd) inside the span: 5,7,9,11 -> full extent
+    assert got[1] == (5, 14, 4)
+    # doc2 probe lattice inside the span: 5,7,9 -> stride-granular extent
+    # (4..13 true span, reported 5..12); previously doc2 emitted NOTHING
+    assert got[2] == (5, 12, 3)
+
+
 def test_duplicate_spans_no_duplicates(spark):
     from osm_wikidata_spark.operators import spans
 
