@@ -4141,14 +4141,15 @@ def oracle_sql() -> dict[str, str]:
             ), lagd AS (
               SELECT *,
                      lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
-                     lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+                     lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text,
+                     min(turn_idx) OVER (PARTITION BY conv_id) AS first_idx
               FROM base
             ), agg AS (
               SELECT conv_id, count(*) AS n_turns,
                      (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
                         AND count(DISTINCT turn_idx) = count(*)) AS idx_contiguous,
                      (count(CASE WHEN role = prev_role THEN 1 END) = 0) AS roles_alternate,
-                     bool_or(CASE WHEN prev_role IS NULL THEN role = 'user' END)
+                     bool_or(CASE WHEN turn_idx = first_idx THEN role = 'user' END)
                        AS starts_with_user,
                      count(CASE WHEN trim(text) = '' THEN 1 END) AS n_empty_turns,
                      count(CASE WHEN text = prev_text THEN 1 END) AS n_stutter_turns,

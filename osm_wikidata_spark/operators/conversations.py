@@ -60,6 +60,13 @@ def conversation_qa(transcripts: DataFrame) -> DataFrame:
         "tool",
         F.lag("role").over(w).alias("prev_role"),
         F.lag("text").over(w).alias("prev_text"),
+        # first-turn detection keys on POSITION (min turn_idx), not on
+        # prev_role nullability: lag('role') is also NULL after a turn
+        # whose role is NULL, which would let a conversation starting
+        # with 'assistant' report starts_with_user=true via any
+        # post-NULL-role 'user' turn.  Same partition key as w — the
+        # extra Window node reuses the one exchange.
+        F.min("turn_idx").over(Window.partitionBy("conv_id")).alias("first_idx"),
     )
     return t.groupBy("conv_id").agg(
         F.count("*").alias("n_turns"),
@@ -72,7 +79,7 @@ def conversation_qa(transcripts: DataFrame) -> DataFrame:
             "roles_alternate"
         ),
         F.max(
-            F.when(F.col("prev_role").isNull(), F.col("role") == "user")
+            F.when(F.col("turn_idx") == F.col("first_idx"), F.col("role") == "user")
         ).alias("starts_with_user"),
         F.count_if(F.trim("text") == "").alias("n_empty_turns"),
         F.count_if(F.col("text") == F.col("prev_text")).alias(

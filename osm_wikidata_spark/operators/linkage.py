@@ -116,6 +116,17 @@ def fellegi_sunter_em(
     counts = cv.groupBy(*gamma_cols).agg(F.count("*").alias("n_pairs"))
     rows = counts.collect()  # bounded by Π levels, documented carve-out
     pats = [tuple(r[g] for g in gamma_cols) for r in rows]
+    # arbitrary cv frames (not just comparison_vectors output) reach here:
+    # validate the observed patterns against the declared levels up front,
+    # instead of a bare TypeError/IndexError deep in the EM loop
+    for pat in pats:
+        for k, v in enumerate(pat):
+            if v is None or not (0 <= v < levels[k]):
+                raise ValueError(
+                    f"gamma column {gamma_cols[k]!r} has value {v!r} outside "
+                    f"its declared levels [0, {levels[k]}) — comparison "
+                    "vectors must be non-null ordinals below levels[k]"
+                )
     ns = [float(r["n_pairs"]) for r in rows]
     total = sum(ns)
 

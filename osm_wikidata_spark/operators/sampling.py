@@ -44,9 +44,26 @@ def _hex_threshold(fraction: float) -> str:
 def hash_key(cols: Sequence[str]) -> F.Column:
     """First 8 hex chars of md5 over the \\x1f-joined key columns (cast to
     string; the joiner cannot occur in numeric keys and is vanishingly
-    rare in text ids)."""
+    rare in text ids).
+
+    NULL columns are encoded as a ``\\x00`` sentinel rather than skipped:
+    ``concat_ws`` silently drops NULL arguments, which would hash
+    ``('a', NULL)`` and ``(NULL, 'a')`` — or ``('a', NULL, 'b')`` and
+    ``('a', 'b', NULL)`` — identically, breaking the pure-function-of-
+    the-key premise behind :func:`sample_rows`/:func:`assign_splits` for
+    multi-column nullable keys.  The sentinel keeps every position's
+    contribution distinguishable while leaving hashes of fully non-null
+    keys unchanged (a genuine ``\\x00`` string value would collide with
+    NULL — the same vanishingly-rare caveat as the joiner)."""
     return F.substring(
-        F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])), 1, 8
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+            )
+        ),
+        1,
+        8,
     )
 
 

@@ -84,12 +84,25 @@ def _planes(seed: int, dim: int, n_rows: int):
 
 
 def hyperplane_signatures(
-    vec_col, n_planes: int = 12, n_tables: int = 4, seed: int = 42
+    vec_col,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
 ) -> F.Column:
     """Multi-table random-hyperplane LSH: array of ``n_tables`` bucket keys.
 
-    Table t's key is ``"t:<n_planes sign bits of v·R_t>"`` — one numpy
-    matmul per Arrow batch, no per-plane column expressions.
+    Table t's key is ``"t:<dim>:<n_planes sign bits of v·R_t>"`` — one
+    numpy matmul per distinct vector length per Arrow batch, no per-plane
+    column expressions.  A row's signature is a pure function of its own
+    vector: each length group is signed with the plane matrix for ITS
+    length (planes are a pure function of ``(seed, length)``), so a valid
+    vector's buckets never depend on which rows share its Arrow batch —
+    i.e. never on partitioning.  The length rides in the key, so vectors
+    of different lengths can never bucket-collide.  Null/empty vectors
+    get an empty bucket list (unfindable rather than failing the task);
+    when ``dim`` is given, rows of any OTHER length are likewise emptied
+    (explicit-validation mode, matching ``ivf_assign``).
     """
 
     @F.pandas_udf(ArrayType(StringType()))
@@ -98,20 +111,20 @@ def hyperplane_signatures(
 
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        # null vectors (or a ragged batch) get an empty bucket list — they
-        # are unfindable rather than failing the task; majority-shape rows
-        # batch through one matmul
-        lens = v.map(lambda x: -1 if x is None else len(x))
-        dim = int(lens.max())
+        lens = v.map(lambda x: -1 if x is None else len(x)).to_numpy()
         out = pd.Series([[] for _ in range(len(v))], dtype=object)
-        valid = (lens == dim).to_numpy()
-        if dim > 0 and valid.any():
-            mat = np.stack(v[valid].to_numpy())  # (batch, dim)
-            planes = _planes(seed, dim, n_tables * n_planes)
-            bits = (mat @ planes.T >= 0).astype(np.uint8)  # (batch, T*P)
+        dims = [dim] if dim is not None else [int(d) for d in np.unique(lens) if d > 0]
+        for d in dims:
+            valid = lens == d
+            if d <= 0 or not valid.any():
+                continue
+            mat = np.stack(v[valid].to_numpy())  # (group, d)
+            planes = _planes(seed, d, n_tables * n_planes)
+            bits = (mat @ planes.T >= 0).astype(np.uint8)  # (group, T*P)
             sigs = [
                 [
-                    f"{t}:" + "".join(map(str, row[t * n_planes : (t + 1) * n_planes]))
+                    f"{t}:{d}:"
+                    + "".join(map(str, row[t * n_planes : (t + 1) * n_planes]))
                     for t in range(n_tables)
                 ]
                 for row in bits

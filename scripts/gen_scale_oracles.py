@@ -161,9 +161,13 @@ def simhash_pairs(docs, shingle_n=3, max_hamming=6, bits=60, n_bands=None,
 # ------------------------------------------------------------- embeddings
 
 def hyperplane_buckets(vec, planes, n_planes, n_tables):
-    bits = (np.asarray(vec) @ planes.T >= 0).astype(np.uint8)
+    # key format mirrors similarity.hyperplane_signatures (t:<dim>:<bits>);
+    # candidate sets only depend on key equality, so dim-in-key is inert
+    # for the uniform-dim fixture corpus
+    a = np.asarray(vec)
+    bits = (a @ planes.T >= 0).astype(np.uint8)
     return [
-        f"{t}:" + "".join(map(str, bits[t * n_planes : (t + 1) * n_planes]))
+        f"{t}:{len(a)}:" + "".join(map(str, bits[t * n_planes : (t + 1) * n_planes]))
         for t in range(n_tables)
     ]
 

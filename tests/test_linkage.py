@@ -118,6 +118,27 @@ def test_floor_keeps_weights_finite(spark):
             assert all(p >= 1e-10 for p in probs)
 
 
+def test_em_rejects_invalid_gamma_values(spark):
+    # arbitrary cv frames are accepted, so NULLs and out-of-range ordinals
+    # must raise a descriptive ValueError up front, not a TypeError /
+    # IndexError deep in the EM loop
+    import pytest
+
+    null_cv = spark.createDataFrame(
+        [(0, 0)] * 5 + [(None, 1)], "g_a int, g_b int"
+    )
+    with pytest.raises(ValueError, match="g_a.*None"):
+        fellegi_sunter_em(null_cv, ["g_a", "g_b"], [3, 3], n_iter=2)
+
+    high_cv = spark.createDataFrame([(0, 0), (3, 1)], "g_a int, g_b int")
+    with pytest.raises(ValueError, match=r"g_a.*3.*\[0, 3\)"):
+        fellegi_sunter_em(high_cv, ["g_a", "g_b"], [3, 3], n_iter=2)
+
+    neg_cv = spark.createDataFrame([(0, 0), (-1, 1)], "g_a int, g_b int")
+    with pytest.raises(ValueError, match="g_a"):
+        fellegi_sunter_em(neg_cv, ["g_a", "g_b"], [3, 3], n_iter=2)
+
+
 def test_score_pairs_fs_broadcast_join(spark):
     cv, _ = _planted_mixture(spark, n=2000)
     patterns, _ = fellegi_sunter_em(cv, ["g_a", "g_b"], [3, 3], n_iter=10)

@@ -550,6 +550,49 @@ def test_lsh_signatures_null_safe(spark):
     assert 2 not in ids  # null vector bucketed nowhere
 
 
+def test_lsh_signatures_batch_independent(spark):
+    """A vector's buckets are a pure function of its own values: a short
+    vector sharing an Arrow batch with longer ones gets the same
+    signatures it gets alone (each length group is signed with the plane
+    matrix for its own length), and the length rides in the key so
+    different-length vectors can never bucket-collide."""
+    from osm_wikidata_spark.operators import similarity
+
+    def sigs(rows):
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        return {
+            r["vec_id"]: r["s"]
+            for r in df.coalesce(1)
+            .select(
+                "vec_id",
+                similarity.hyperplane_signatures(
+                    F.col("embedding"), n_planes=4, n_tables=2
+                ).alias("s"),
+            )
+            .collect()
+        }
+
+    short = (1, [0.3, -0.7])
+    longer = (2, [0.1, 0.2, 0.3, 0.4, 0.5])
+    mixed = sigs([short, longer])
+    alone = sigs([short])
+    assert mixed[1] == alone[1] != []          # batch composition irrelevant
+    assert mixed[2] != []                       # longer row signed too
+    assert not set(mixed[1]) & set(mixed[2])    # dim-in-key: no collisions
+    # explicit-dim validation mode: off-dim rows are emptied
+    df = spark.createDataFrame([short, longer], "vec_id bigint, embedding array<double>")
+    strict = {
+        r["vec_id"]: r["s"]
+        for r in df.select(
+            "vec_id",
+            similarity.hyperplane_signatures(
+                F.col("embedding"), n_planes=4, n_tables=2, dim=2
+            ).alias("s"),
+        ).collect()
+    }
+    assert strict[1] == alone[1] and strict[2] == []
+
+
 def test_duplicate_mapping_ignores_null_text(spark):
     from osm_wikidata_spark.operators import dedup
 
@@ -685,6 +728,34 @@ def test_hash_sampling_partitioning_invariant(spark):
     }
     assert a == b
     assert 0.08 * 20000 < len(a) < 0.12 * 20000
+
+
+def test_hash_key_null_positions_distinct(spark):
+    """NULL key columns are encoded, not skipped: ('a', NULL) vs
+    (NULL, 'a') and ('a', NULL, 'b') vs ('a', 'b', NULL) hash
+    differently, and a fully non-null key's hash is unchanged by the
+    encoding (md5 of the plain \\x1f join)."""
+    import hashlib
+
+    from osm_wikidata_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", None, None),
+            (2, None, "a", None),
+            (3, "a", None, "b"),
+            (4, "a", "b", None),
+            (5, "a", "b", "c"),
+        ],
+        "id bigint, x string, y string, z string",
+    )
+    rows = {
+        r["id"]: r["h"]
+        for r in df.select("id", sampling.hash_key(["x", "y", "z"]).alias("h")).collect()
+    }
+    assert len(set(rows.values())) == 5  # all five keys distinct
+    expected = hashlib.md5("a\x1fb\x1fc".encode()).hexdigest()[:8]
+    assert rows[5] == expected  # non-null hashes unchanged
 
 
 def test_hash_sampling_consistent_across_tables(spark):
@@ -1161,6 +1232,27 @@ def test_conversation_qa_planted(spark):
     assert bad["n_empty_turns"] == 1
     assert bad["n_stutter_turns"] == 1
     assert bad["n_bad_tool_turns"] == 1
+
+
+def test_conversation_qa_null_role_midstream(spark):
+    """starts_with_user keys on the FIRST turn's role by position: a
+    mid-stream NULL role makes the next turn's lag('role') NULL too, so
+    the old prev_role-nullability test let an assistant-first
+    conversation report starts_with_user=true via a post-NULL 'user'
+    turn."""
+    from osm_wikidata_spark.operators import conversations
+
+    rows = [
+        ("c", 0, "assistant", "greetings", None),
+        ("c", 1, None, "???", None),       # NULL role mid-stream
+        ("c", 2, "user", "hi", None),      # lag(role) is NULL here too
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    out = conversations.conversation_qa(df).collect()[0]
+    assert out["starts_with_user"] is False
+    assert out["keep_conv"] is False
 
 
 def test_canned_turns(spark):
