@@ -31,6 +31,8 @@ group key).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -41,6 +43,7 @@ def pack_sequences(
     token_col: str = "n_tokens",
     group_col: str | None = None,
     order_col: str | None = None,
+    single_stream_ok: bool = False,
 ) -> DataFrame:
     """Assign every document its concat-and-chunk placement.
 
@@ -49,9 +52,25 @@ def pack_sequences(
     ``id_col``; ordering ties are broken by ``id_col`` so the stream is
     total-ordered and the result deterministic.  Zero-token documents
     occupy no stream space (their start equals the next doc's).
+
+    ``group_col=None`` packs ONE global stream — a single unpartitioned
+    running-sum window that funnels the whole input through one task (the
+    documented bottleneck above; fine for exploration, wrong at corpus
+    scale).  It warns unless ``single_stream_ok=True``; pass a
+    bounded-cardinality ``group_col`` (source, shard id,
+    ``pmod(hash(id), k)``) to pack k independent streams in parallel.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if group_col is None and not single_stream_ok:
+        warnings.warn(
+            "pack_sequences(group_col=None) packs one GLOBAL stream through "
+            "a single unpartitioned window — the whole input funnels into "
+            "one task. Pass group_col (source / shard / pmod(hash(id), k)) "
+            "to pack independent streams in parallel, or "
+            "single_stream_ok=True to silence this.",
+            stacklevel=2,
+        )
     order = order_col or id_col
     part = Window.partitionBy(*( [group_col] if group_col else [] ))
     w = (

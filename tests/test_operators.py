@@ -945,22 +945,31 @@ def test_pack_sequences_concat_and_chunk(spark):
 
 
 def test_pack_sequences_global_and_edges(spark):
+    import warnings
+
     from osm_wikidata_spark.operators import packing
     import pytest as _pytest
 
     docs = spark.createDataFrame(
         [(1, 100), (2, 0), (3, 30)], "doc_id bigint, n_tokens int"
     )
+    # group_col=None is the documented single-window bottleneck: it must
+    # warn loudly unless explicitly waived
+    with _pytest.warns(UserWarning, match="GLOBAL stream"):
+        packed = packing.pack_sequences(docs, 64)
     got = {
         r["doc_id"]: (r["start_offset"], r["seq_id"], r["seq_offset"])
-        for r in packing.pack_sequences(docs, 64).collect()
+        for r in packed.collect()
     }
     # doc 1 spans seqs 0-1; zero-token doc 2 occupies no stream space
     assert got[1] == (0, 0, 0)
     assert got[2] == (100, 1, 36)
     assert got[3] == (100, 1, 36)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # opt-in silences the warning
+        packing.pack_sequences(docs, 64, single_stream_ok=True)
     with _pytest.raises(ValueError):
-        packing.pack_sequences(docs, 0)
+        packing.pack_sequences(docs, 0, single_stream_ok=True)
 
 
 def test_pack_sequences_partitioning_invariant(spark):
