@@ -383,6 +383,9 @@ def run_pipeline(
     max_block_size: int | None = 1000,
     salt: int = 8,
     snm_window: int | None = None,
+    cnp_k: int | None = None,
+    fs_bands: dict[str, list[float]] | None = None,
+    fs_thresholds: tuple[float, float] = (0.0, 0.0),
 ) -> dict[str, DataFrame]:
     """Full blocking → scoring → clustering run.
 
@@ -399,6 +402,29 @@ def run_pipeline(
     Cross-channel duplicate pairs collapse via the same min-block_key
     lineage rule salted_pair_join uses ("«snm»" sorts after real tokens,
     so token lineage wins when both channels propose a pair).
+
+    ``cnp_k`` (opt-in) applies meta-blocking Cardinality Node Pruning
+    (Papadakis TKDE'13 §5.3, union variant) between pair generation and
+    scoring: pairs are weighted by block-set overlap (CBS/Jaccard,
+    ``metablocking.block_edge_weights``) and only pairs ranking in either
+    endpoint's top-``cnp_k`` survive to the pandas-UDF cascade — the
+    candidate-BUDGET knob for corpora where the block graph is far denser
+    than the match graph.  Pruning is recall-bounded by k: true matches
+    share the most blocks by construction of the channels, so they rank
+    first; the pipeline test pins unchanged F1 at a strictly smaller
+    scored-pair budget.
+
+    ``fs_bands`` (opt-in) adds a probabilistic scoring stage alongside the
+    deterministic cascade (the north-star FS linkage shape): candidate
+    pairs' primary names are scored (Jaro-Winkler / Levenshtein-ratio /
+    token overlap), banded into comparison vectors per ``fs_bands``
+    (column → ascending thresholds), a Fellegi-Sunter model is EM-fitted
+    on the pattern sufficient statistics, and every pair gets
+    ``match_weight``/``posterior`` plus the three-way ``decision`` at
+    ``fs_thresholds=(lower, upper)`` — returned as the ``fs_pairs``
+    output.  The cascade stays the acceptance authority (components are
+    unchanged); FS posteriors are the triage/review signal
+    (``select_review_pairs`` consumes them).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
 
@@ -441,6 +467,20 @@ def run_pipeline(
                 .groupBy("left_id", "right_id")
                 .agg(F.min("block_key").alias("block_key"))
             )
+        if cnp_k is not None:
+            from ..operators.metablocking import block_edge_weights, prune_edges_cnp
+
+            # weight pairs by block-set overlap and keep only each node's
+            # top-k — the budget gate BEFORE the expensive scoring UDF.
+            # The semi-join preserves p's block_key lineage.
+            weights = block_edge_weights(
+                blocks, id_col="block_id", block_col="block_key",
+                max_block=max_block_size,
+            )
+            kept = prune_edges_cnp(weights, cnp_k, weight_col="js", persist=True)
+            p = p.join(
+                kept.select("left_id", "right_id"), ["left_id", "right_id"], "leftsemi"
+            )
         return p
 
     pairs = stage(
@@ -452,6 +492,7 @@ def run_pipeline(
             "salt": salt,
             "max_block_size": max_block_size,
             "snm_window": snm_window,
+            "cnp_k": cnp_k,
         },
     )
     append_audit(partition_metrics(pairs, run_id, "pairs"), run_dir, "partitions")
@@ -482,10 +523,63 @@ def run_pipeline(
     components = stage(spark, run_dir, "components", _components)
     append_audit(partition_metrics(components, run_id, "components"), run_dir, "partitions")
 
-    return {
+    out = {
         "entities": entities,
         "blocks": blocks,
         "pairs": pairs,
         "edges": edges,
         "components": components,
     }
+
+    if fs_bands is not None:
+        from ..operators.linkage import (
+            comparison_vectors,
+            fellegi_sunter_em,
+            fs_decisions,
+            score_pairs_fs,
+        )
+        from ..operators.scoring import score_name_pairs
+
+        def _fs() -> DataFrame:
+            prim = entities.select(
+                "conv_id", F.element_at(F.col("names"), 1).alias("primary_name")
+            )
+            scored = score_name_pairs(
+                pairs.join(
+                    prim.select(
+                        F.col("conv_id").alias("left_id"),
+                        F.col("primary_name").alias("left_name"),
+                    ),
+                    "left_id",
+                ).join(
+                    prim.select(
+                        F.col("conv_id").alias("right_id"),
+                        F.col("primary_name").alias("right_name"),
+                    ),
+                    "right_id",
+                )
+            )
+            gcols = [f"gamma_{c}" for c in fs_bands]
+            levels = [len(t) + 1 for t in fs_bands.values()]
+            cv = comparison_vectors(scored, fs_bands)
+            patterns, _params = fellegi_sunter_em(cv, gcols, levels)
+            return fs_decisions(
+                score_pairs_fs(cv, patterns, gcols),
+                lower=fs_thresholds[0],
+                upper=fs_thresholds[1],
+            )
+
+        out["fs_pairs"] = stage(
+            spark,
+            run_dir,
+            "fs_pairs",
+            _fs,
+            params={
+                "fs_bands": fs_bands,
+                "fs_thresholds": list(fs_thresholds),
+                "cnp_k": cnp_k,
+                "snm_window": snm_window,
+            },
+        )
+
+    return out

@@ -230,6 +230,66 @@ def test_ctx_fp_null_vs_empty_no_alias(spark):
     assert len(rows) == 1 and rows[0]["matched"] is True
 
 
+def test_pipeline_cnp_budget_reduction_at_unchanged_f1(spark):
+    """Opt-in meta-blocking CNP: the scored-pair budget strictly shrinks
+    (pairs is a strict subset of the default run's) while pairwise F1
+    stays >= 0.99 — true matches share the most blocks, so they rank in
+    each other's top-k and survive the prune."""
+    # 232 conversations: candidate degree avg ~9 / max 17, so top-6
+    # pruning actually bites (at 87 the graph is too sparse to prune)
+    transcripts, truth = synth_transcripts(spark, n_conversations=232, turns_per_conv=3)
+    base = run_pipeline(spark, transcripts)
+    pruned = run_pipeline(spark, transcripts, cnp_k=6)
+    base_pairs = {(r["left_id"], r["right_id"]) for r in base["pairs"].collect()}
+    cnp_pairs = {(r["left_id"], r["right_id"]) for r in pruned["pairs"].collect()}
+    assert cnp_pairs < base_pairs          # strictly smaller budget
+    components = {
+        r["conv_id"]: r["component"] for r in pruned["components"].collect()
+    }
+    truth_map = {r["conv_id"]: r["group_id"] for r in truth.collect()}
+    f1 = _pairwise_f1(components, truth_map)
+    assert f1 >= 0.99, (
+        f"pairwise F1 with CNP {f1:.4f} < 0.99 "
+        f"({len(cnp_pairs)}/{len(base_pairs)} pairs kept)"
+    )
+
+
+def test_pipeline_fs_stage_posteriors(spark):
+    """Opt-in Fellegi-Sunter stage: every candidate pair gets
+    match_weight/posterior plus the three-way decision; posteriors
+    separate cascade-accepted pairs from rejected ones; components are
+    unchanged (the cascade stays the acceptance authority)."""
+    transcripts, truth = synth_transcripts(spark, n_conversations=87, turns_per_conv=3)
+    bands = {"jaro_winkler": [0.85, 0.95], "token_overlap": [0.4, 0.9]}
+    out = run_pipeline(spark, transcripts, fs_bands=bands)
+    fs_rows = out["fs_pairs"].collect()
+    assert {(r["left_id"], r["right_id"]) for r in fs_rows} == {
+        (r["left_id"], r["right_id"]) for r in out["pairs"].collect()
+    }
+    for r in fs_rows:
+        assert 0.0 <= r["posterior"] <= 1.0
+        assert r["decision"] in ("link", "non_link", "possible")
+        assert (r["decision"] == "link") == (r["match_weight"] >= 0.0)
+    matched = {
+        (r["left_id"], r["right_id"]) for r in out["edges"].collect() if r["matched"]
+    }
+    post = {(r["left_id"], r["right_id"]): r["posterior"] for r in fs_rows}
+    pos = [post[p] for p in post if p in matched]
+    neg = [post[p] for p in post if p not in matched]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg) + 0.3  # clear separation
+    # acceptance authority unchanged: components identical to the base run
+    base = run_pipeline(spark, transcripts)
+    assert sorted(map(tuple, out["components"].collect())) == sorted(
+        map(tuple, base["components"].collect())
+    )
+    truth_map = {r["conv_id"]: r["group_id"] for r in truth.collect()}
+    f1 = _pairwise_f1(
+        {r["conv_id"]: r["component"] for r in out["components"].collect()}, truth_map
+    )
+    assert f1 >= 0.99
+
+
 def test_pipeline_snm_channel_superset_and_f1(spark):
     """Opt-in SNM channel: candidate set is a superset of the default
     channels' (extra recall only), F1 stays >= 0.99 (precision lives in
