@@ -43,8 +43,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _derive_transcripts(spark: SparkSession, sf_dir: str, max_convs: int = 400) -> DataFrame:
     """Transcripts-shaped table from orders×customer: one conversation per
     order, each turn mentioning the order's customer under a deterministic
-    name variant.  Ground truth (unused by the pipeline) is o_custkey."""
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0).limit(max_convs)
+    name variant.  Ground truth (unused by the pipeline) is o_custkey.
+
+    Selection is KEY-BOUND (``o_orderkey <= 7 * max_convs``), not
+    ``limit()``: an unordered limit takes an arbitrary subset, which
+    would make the conversation set — and therefore the q_er_pipeline
+    exact oracle — engine/partitioning-dependent."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") <= 7 * max_convs)
+    )
     customer = _t(spark, sf_dir, "customer")
     base = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
     variant = F.element_at(
@@ -2420,7 +2427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_sessionize": q_sessionize,
         # --- (c) archive-safe marquee re-confirmations (driver-green in
-        #     r01-r03; q_er_pipeline exact-oracle-upgraded this round) ---
+        #     r01-r03; q_er_pipeline upgraded from rows-only to the
+        #     ground-truth exact oracle this round) ---
         "q_er_pipeline": q_er_pipeline,
         "q_name_match": q_name_match,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4741,6 +4749,23 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_embed_lsh": _sql_values(
             _sofix.EMBED_LSH_PAIRS, "left_id, right_id, cos"
         ),
-        # rows-only (non-SQL-expressible, end-to-end): q_er_pipeline,
-        # q_multimodal_features
+        # end-to-end flagship: the oracle is the GENERATOR'S GROUND TRUTH,
+        # not a re-derivation of the engine — _derive_transcripts mentions
+        # one customer per conversation (o_custkey is the true group), the
+        # cascade matches all four deterministic name variants, and
+        # connected_components labels each cluster with its min node id,
+        # so the expected output is the min-conv_id-per-custkey window
+        # over the key-bound subset (7 * max_convs=300 → o_orderkey<=2100).
+        # Any pipeline regression (missed variant → split cluster, false
+        # match → merged cluster, label-convention change) breaks the hash.
+        "q_er_pipeline": """
+            WITH convs AS (
+              SELECT printf('conv-%08d', o_orderkey) AS conv_id, o_custkey
+              FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey <= 2100
+            )
+            SELECT conv_id,
+                   min(conv_id) OVER (PARTITION BY o_custkey) AS component
+            FROM convs
+        """,
+        # rows-only (honest no-codec stub): q_multimodal_features
     }
