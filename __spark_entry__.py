@@ -1736,7 +1736,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_sessionize(spark, sf):
         # inactivity-gap sessionization (gaps-and-islands): per-event
         # session assignment over the events stream, 4-hour gap,
-        # event_id tie-break -> partitioning-invariant
+        # event_id tie-break -> partitioning-invariant.
+        # tz note (r04 VERDICT follow-up, investigated r05): events.ts is
+        # TIMESTAMP_NTZ in the parquet, so collected values are naive
+        # wall-clock on ANY driver session timezone — the r04 hash
+        # failure was purely the oracle HUGEINT (now cast); there is no
+        # residual tz sensitivity to design away (unix_micros would
+        # actually ADD one: Spark rejects it on NTZ, and casting NTZ →
+        # TIMESTAMP interprets in session tz).
         from osm_wikidata_spark.streaming import windows as sw
 
         return sw.sessionize(

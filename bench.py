@@ -89,6 +89,9 @@ HEADLINE = [
     # the zero-Python fuzzy scorer (chargram TF-IDF cosine): the JVM
     # cost floor the Arrow-crossing scorers are judged against
     "q_gram_cosine",
+    # round 5: the gaps-and-islands sessionization family gets a tracked
+    # cost now that its oracle-type fix made it driver-gradeable
+    "q_sessionize",
 ]
 
 
