@@ -1369,8 +1369,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and dup-5/10-gram character fractions over the normalised text
         from osm_wikidata_spark.operators import quality
 
+        # ingest hygiene, not operator shape: repetition_stats is now
+        # zero-shuffle (per-doc array run scans), so with a single-file
+        # 600 KB parquet source the whole compute-bound scan would land
+        # in ONE task (maxPartitionBytes cannot split one small file).
+        # Spreading the raw docs is a ~1 MB round-robin exchange; at
+        # corpus scale the source is already thousands of splits and the
+        # operator itself never shuffles.
         return quality.repetition_stats(
-            _reshaped_docs(spark, sf), top_ngram_ns=(2, 3, 4), dup_ngram_ns=(5, 10)
+            _reshaped_docs(spark, sf).repartition(32),
+            top_ngram_ns=(2, 3, 4),
+            dup_ngram_ns=(5, 10),
         )
 
     def _pii_injected_docs(spark, sf):
