@@ -166,6 +166,19 @@ def test_c4_filters_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_repetition_stats_is_shuffle_free(spark):
+    """Every repetition signal is a pure function of one document, so the
+    operator must stay scan -> project: per-doc sorted-array run scans,
+    ZERO exchanges.  (The round-4 shape exploded ~5x the corpus word
+    count through two hash aggregations — 8x slower at sf0.1 and a
+    corpus-sized shuffle at scale.)"""
+    from osm_wikidata_spark.operators import quality
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = _formatted_plan(quality.repetition_stats(docs))
+    assert "Exchange" not in plan
+
+
 def test_conversation_qa_single_shuffle(spark):
     """The lag window and the per-conversation aggregate must share ONE
     hash exchange on conv_id (exchange reuse), not shuffle twice."""
