@@ -11,32 +11,31 @@ spacing is keyed, windows whose key occurs more than once anywhere in the
 corpus are flagged, and per document the flagged windows are merged into
 maximal spans (the cut/drop list for the downstream rewrite).
 
-Exactness contract: windows are keyed on their literal text, so a flagged
-span IS a verbatim repeat (no hash false positives), and every repeated
-span of at least ``window + stride - 1`` words is guaranteed to contain a
-flagged probe window AT ANY ALIGNMENT.  The guarantee holds because the
-two sides sample differently: the COUNT side keys every window (stride 1),
-so two copies of the same content share window texts no matter how their
-start positions differ mod ``stride``; the PROBE side samples each
-document's positions at ``stride`` spacing, and a repeat of
-``window + stride - 1`` words covers at least one probe position in every
-copy.  (Counting at stride spacing instead — the round-4 behaviour —
-silently missed copies whose alignments differ mod stride, i.e. most
-cross-document repeats for stride 10.)  A repeat shorter than ``window``
-words is invisible by construction — that is the approximation, and
-``window``/``stride`` are the knobs.  At corpus scale swap the join key
-for ``xxhash64(window_text)`` to shrink the shuffle (collision risk
-2^-64; same plan shape) — the same note as contamination.py.
+Exactness contract: every repeated span of at least
+``window + stride - 1`` words is guaranteed to contain a flagged probe
+window AT ANY ALIGNMENT.  The guarantee holds because the two sides
+sample differently: the COUNT side keys every window (stride 1), so two
+copies of the same content share window keys no matter how their start
+positions differ mod ``stride``; the PROBE side samples each document's
+positions at ``stride`` spacing, and a repeat of ``window + stride - 1``
+words covers at least one probe position in every copy.  (Counting at
+stride spacing instead — the round-4 behaviour — silently missed copies
+whose alignments differ mod stride, i.e. most cross-document repeats for
+stride 10.)  A repeat shorter than ``window`` words is invisible by
+construction — that is the approximation, and ``window``/``stride`` are
+the knobs.  False positives: none with ``exact_keys=True`` (literal-text
+keys); with the default hashed keys, one per ~2^65/P² corpus positions
+(see ``duplicate_spans``).
 
-Scale shape: the count side explodes one window per WORD (stride no
-longer discounts it — that is the price of the alignment guarantee, and
-it partial-aggregates map-side before the one hash shuffle on the window
-key); the probe side explodes ~len/stride positions per doc, joins to the
-flagged keys, then a per-document gaps-and-islands merge (two window
-functions over the doc partition).  The count side defuses its own hot
-keys: a boilerplate window occurring 10^6 times is ONE count row; the
-join fan-out equals the number of flagged probe positions, which is the
-size of the answer itself.
+Scale shape: the count side explodes one window KEY per WORD (stride no
+longer discounts it — that is the price of the alignment guarantee — so
+the key is an 8-byte hash by default, and it partial-aggregates map-side
+before the one hash shuffle); the probe side explodes ~len/stride
+positions per doc, joins to the flagged keys, then a per-document
+gaps-and-islands merge (two window functions over the doc partition).
+The count side defuses its own hot keys: a boilerplate window occurring
+10^6 times is ONE count row; the join fan-out equals the number of
+flagged probe positions, which is the size of the answer itself.
 """
 
 from __future__ import annotations
@@ -53,6 +52,7 @@ def duplicate_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exact_keys: bool = False,
 ) -> DataFrame:
     """Maximal duplicated spans per document.
 
@@ -66,6 +66,18 @@ def duplicate_spans(
     probe positions, and therefore reported span extents, are
     ``stride``-granular.  Documents shorter than ``window`` words emit
     nothing.
+
+    By default windows are keyed by ``xxhash64`` over the slice of
+    per-word hashes — each word hashed once, a window key is one hash of
+    ``window`` longs, and the count shuffle carries 8-byte keys instead
+    of built window strings (measured 2.2x end-to-end at sf0.1; the
+    count side walks every word position, so its key width IS the
+    operator's dominant cost).  Two distinct windows alias only on an
+    xxhash64 collision (~P²/2^65 for P corpus positions — negligible
+    below ~10^8 positions, and the sf0.01 oracle pins the collision-free
+    semantics exactly).  ``exact_keys=True`` keys on the literal window
+    text instead: zero false-positive guarantee, at string-building and
+    string-shuffle cost.
     """
     if stride < 1 or window < 1:
         raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
@@ -74,7 +86,19 @@ def duplicate_spans(
     # the full word array never rides the exploded rows
     # NB: sequence(1, 0) would DESCEND, so the upper bound clamps to 1 and
     # the i <= limit predicate empties short docs instead
-    limit = F.size(words) - (window - 1)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (
+            words
+            if exact_keys
+            else F.transform(words, lambda x: F.xxhash64(x))
+        ).alias("_w"),
+    )
+    limit = F.size(F.col("_w")) - (window - 1)
+
+    def _key(i):
+        seg = F.slice(F.col("_w"), i, window)
+        return F.array_join(seg, " ") if exact_keys else F.xxhash64(seg)
 
     def _wins(step: int):
         return F.transform(
@@ -82,14 +106,11 @@ def duplicate_spans(
                 F.sequence(F.lit(1), F.greatest(limit, F.lit(1))),
                 lambda i: ((i - 1) % step == 0) & (i <= limit),
             ),
-            lambda i: F.struct(
-                i.alias("start"),
-                F.array_join(F.slice(words, i, window), " ").alias("win"),
-            ),
+            lambda i: F.struct(i.alias("start"), _key(i).alias("win")),
         )
 
-    positions = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(_wins(stride)).alias("s")
+    positions = base.select(
+        "doc_id", F.explode(_wins(stride)).alias("s")
     ).select(
         "doc_id",
         F.col("s.start").alias("start"),
@@ -97,13 +118,24 @@ def duplicate_spans(
         F.col("s.win").alias("win"),
     )
 
-    # count side at stride 1: copies of a repeat share window texts no
+    # count side at stride 1: copies of a repeat share window keys no
     # matter how their start positions differ mod stride (the probe-side
-    # lattice alone would miss misaligned copies)
+    # lattice alone would miss misaligned copies); only the bare key
+    # rides the full-position explode
     all_wins = (
         positions.select("win")
         if stride == 1
-        else docs.select(F.explode(_wins(1)).alias("s")).select(F.col("s.win").alias("win"))
+        else base.select(
+            F.explode(
+                F.transform(
+                    F.filter(
+                        F.sequence(F.lit(1), F.greatest(limit, F.lit(1))),
+                        lambda i: i <= limit,
+                    ),
+                    _key,
+                )
+            ).alias("win")
+        )
     )
     counts = (
         all_wins.groupBy("win")
