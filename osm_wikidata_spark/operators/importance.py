@@ -29,6 +29,17 @@ knob is running step 2's raw-corpus counts on a hash sample
 (:func:`~osm_wikidata_spark.operators.sampling.sample_rows`), which
 changes ``p_raw`` estimates, not the machinery.
 
+Measured negative result (round 5): swapping the per-gram md5-prefix
+bucket for ``xxhash64(g) % 4096`` does NOT pay — isolated on the sf0.1
+gram scan (explode + bucket count, min-of-3, local[32]), md5-prefix
+6.33 s vs xxhash64 6.09 s vs NO hash at all 6.31 s.  The scan cost is
+the normalise/split/bigram/explode machinery, not the hash, so the
+engine-portable md5 expression (which lets the DuckDB oracle mirror the
+exact bucket ids) is kept.  Contrast ``quality.repetition_stats``,
+where the same swap won 8×: there the baseline materialised full gram
+STRINGS through a shuffle, while here the md5 collapses each gram to a
+3-char key before any exchange.
+
 Measured negative result (round 4, keep for posterity): the raw corpus
 is gram-exploded TWICE (dim counts + scoring) and that is the right
 trade.  A "single-explosion" variant — pre-aggregate
