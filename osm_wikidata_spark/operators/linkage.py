@@ -113,6 +113,18 @@ def fellegi_sunter_em(
     """
     if len(levels) != len(gamma_cols):
         raise ValueError("levels must parallel gamma_cols")
+    # schema gate BEFORE the collect: a non-integral gamma column (e.g.
+    # raw DOUBLE scores passed by mistake) would both blow up the
+    # pattern-counts collect (unbounded cardinality) and crash m[k][v]
+    # indexing with values like 1.0 — reject it while the plan is lazy
+    _INTEGRAL = {"tinyint", "smallint", "int", "bigint", "boolean"}
+    for g in gamma_cols:
+        dt = dict(cv.dtypes).get(g)
+        if dt not in _INTEGRAL:
+            raise ValueError(
+                f"gamma column {g!r} must be an integral ordinal type, got "
+                f"{dt!r} — band continuous scores first (see band_gamma)"
+            )
     counts = cv.groupBy(*gamma_cols).agg(F.count("*").alias("n_pairs"))
     rows = counts.collect()  # bounded by Π levels, documented carve-out
     pats = [tuple(r[g] for g in gamma_cols) for r in rows]

@@ -139,6 +139,23 @@ def test_em_rejects_invalid_gamma_values(spark):
         fellegi_sunter_em(neg_cv, ["g_a", "g_b"], [3, 3], n_iter=2)
 
 
+def test_em_rejects_non_integral_gamma_dtype(spark):
+    # a DOUBLE gamma column (e.g. raw similarity scores passed by mistake)
+    # must be rejected while the plan is still lazy — before the
+    # pattern-counts collect, whose cardinality would be unbounded
+    import pytest
+
+    dbl_cv = spark.createDataFrame(
+        [(0.9, 1), (0.1, 0)], "g_a double, g_b int"
+    )
+    with pytest.raises(ValueError, match="g_a.*integral.*band_gamma"):
+        fellegi_sunter_em(dbl_cv, ["g_a", "g_b"], [3, 3], n_iter=2)
+
+    missing_cv = spark.createDataFrame([(0,)], "g_b int")
+    with pytest.raises(ValueError, match="g_a"):
+        fellegi_sunter_em(missing_cv, ["g_a", "g_b"], [3, 3], n_iter=2)
+
+
 def test_score_pairs_fs_broadcast_join(spark):
     cv, _ = _planted_mixture(spark, n=2000)
     patterns, _ = fellegi_sunter_em(cv, ["g_a", "g_b"], [3, 3], n_iter=10)
