@@ -461,6 +461,7 @@ def kmeans_fit(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist: bool = False,
 ) -> list[list[float]]:
     """Train an IVF codebook: distributed Lloyd's k-means over the
     embedding column (the offline step :func:`ivf_assign`'s docstring
@@ -476,6 +477,13 @@ def kmeans_fit(
       O(batches · k) tiny rows; a codebook is driver-sized by the IVF
       contract, so this is the natural home (same judgement as the
       hot-list collect in blocking.py).
+
+    ``persist=True`` caches the projected ``(id, vec)`` frame across the
+    Lloyd iterations (each iteration is an action, so the default re-reads
+    the source ``n_iter + 1`` times) — the standard iterative-algorithm
+    idiom, OPT-IN per this repo's cache-lifetime convention (the caller
+    owns executor memory; codebooks are normally trained on a hash-sample
+    that fits, see the module docstring).  Unpersisted before return.
 
     Init is a seeded hash-sample — the k distinct valid vectors with the
     smallest ``xxhash64(id, seed)`` — so the starting codebook is
@@ -493,7 +501,11 @@ def kmeans_fit(
     if dim_row is None:
         raise ValueError("kmeans_fit: no non-null vectors")
     dim = dim_row["d"]
-    valid = valid.filter(F.size(vec_col) == dim)
+    valid = valid.filter(F.size(vec_col) == dim).select(id_col, vec_col)
+    if persist:
+        from pyspark import StorageLevel
+
+        valid = valid.persist(StorageLevel.MEMORY_AND_DISK)
 
     # seeded hash-sample init: oversample, dedupe driver-side, take k
     cand = (
@@ -546,6 +558,8 @@ def kmeans_fit(
         occupied = counts > 0
         cb[occupied] = sums[occupied] / counts[occupied, None]
 
+    if persist:
+        valid.unpersist()
     return cb.tolist()
 
 

@@ -702,6 +702,25 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
     assert len(relabel) == 3
 
 
+def test_kmeans_fit_persist_matches_default(spark):
+    """persist=True (cache the projected vectors across Lloyd iterations
+    instead of re-reading the source n_iter+1 times) is a pure execution
+    hint: same codebook, and nothing stays cached afterwards."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 4)]) for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    cb0 = similarity.kmeans_fit(vecs, k=3, n_iter=5, seed=2)
+    cb1 = similarity.kmeans_fit(vecs, k=3, n_iter=5, seed=2, persist=True)
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert np.allclose(np.asarray(cb0), np.asarray(cb1))
+    assert after <= before  # kmeans_fit unpersisted its own cache
+
+
 def test_kmeans_fit_null_ragged_and_empty_cells(spark):
     """Null / dimension-mismatched vectors are ignored; a k larger than
     the separable structure leaves empty cells that keep their previous
