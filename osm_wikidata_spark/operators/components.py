@@ -41,23 +41,40 @@ def _bidirectional(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Replace every edge (u, v>u) by (v, min(Γ(u) ∪ {u}))."""
+    """Replace every edge (u, v>u) by (v, min(Γ(u) ∪ {u})).
+
+    The per-node minimum rides a partition WINDOW over u rather than a
+    groupBy + join-back: both need every neighbour row co-located by u,
+    but the window does it in ONE exchange where the join re-shuffles the
+    full neighbour table a second time to meet its own aggregate — at
+    10^12 edges that halves the shuffled bytes of every CC round (the
+    star passes dominate the job).  Skew profile is unchanged: a hot
+    node's neighbours landed in one partition under either plan, and
+    large-star itself is the pass that breaks hot stars up."""
+    from pyspark.sql.window import Window
+
     nb = _bidirectional(e)
-    mins = nb.groupBy("u").agg(F.min("v").alias("nb_min"))
-    mins = mins.select("u", F.least("u", "nb_min").alias("min_n"))
+    min_n = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
     return _canonical(
-        nb.join(mins, "u")
+        nb.withColumn("min_n", min_n)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("min_n").alias("v"))
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    """For every node, hang itself and its ≤ neighbours off their minimum."""
+    """For every node, hang itself and its ≤ neighbours off their minimum.
+
+    Same one-exchange window shape as :func:`_large_star`; the centre
+    rows (u, min) are emitted once per neighbour instead of once per node
+    — :func:`_canonical`'s dropDuplicates (already required by the
+    algorithm) collapses them, so no extra shuffle is introduced."""
+    from pyspark.sql.window import Window
+
     nb = _bidirectional(e).filter(F.col("v") <= F.col("u"))
-    mins = nb.groupBy("u").agg(F.min("v").alias("min_n"))
-    rehung = nb.join(mins, "u").select(F.col("v").alias("u"), F.col("min_n").alias("v"))
-    centres = mins.select(F.col("u"), F.col("min_n").alias("v"))
+    nb = nb.withColumn("min_n", F.min("v").over(Window.partitionBy("u")))
+    rehung = nb.select(F.col("v").alias("u"), F.col("min_n").alias("v"))
+    centres = nb.select(F.col("u"), F.col("min_n").alias("v"))
     return _canonical(rehung.union(centres))
 
 
