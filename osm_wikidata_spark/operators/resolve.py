@@ -17,12 +17,14 @@ def multi_match_veto(
     edges: DataFrame, record_col: str = "right_id"
 ) -> DataFrame:
     """Drop records matched by more than one entity (A1; the 1:1 core,
-    matcher.py:1429-1441).  One groupBy-count + join-back."""
-    counts = edges.groupBy(record_col).agg(F.count("*").alias("claims"))
+    matcher.py:1429-1441).  One partition-window count — the same
+    one-exchange shape as :func:`prefer_unique` and the CC star passes
+    (a groupBy + join-back would shuffle the edge table twice)."""
+    w = Window.partitionBy(record_col)
     return (
-        edges.join(counts, record_col)
-        .filter(F.col("claims") == 1)
-        .drop("claims")
+        edges.withColumn("__claims", F.count("*").over(w))
+        .filter(F.col("__claims") == 1)
+        .drop("__claims")
     )
 
 
