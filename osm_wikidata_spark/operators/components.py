@@ -48,9 +48,16 @@ def _large_star(e: DataFrame) -> DataFrame:
     but the window does it in ONE exchange where the join re-shuffles the
     full neighbour table a second time to meet its own aggregate — at
     10^12 edges that halves the shuffled bytes of every CC round (the
-    star passes dominate the job).  Skew profile is unchanged: a hot
-    node's neighbours landed in one partition under either plan, and
-    large-star itself is the pass that breaks hot stars up."""
+    star passes dominate the job).  Skew: a hot node's neighbours landed
+    in one partition under either plan, but the window BUFFERS them in
+    one (spillable) task where the sort-merge join streamed them and was
+    AQE-skew-splittable — the window trade is right HERE because every
+    pair generator in this engine caps block/bucket/cell sizes upstream
+    (max_block_size / max_bucket / max_cell), bounding the degree a node
+    can enter CC with, and large-star itself is the pass that breaks hot
+    stars up.  An uncapped external edge feed should cap degrees first
+    (contrast cap_buckets, which KEEPS groupBy+join for exactly this
+    reason: its whole job is to meet uncapped skew)."""
     from pyspark.sql.window import Window
 
     nb = _bidirectional(e)
