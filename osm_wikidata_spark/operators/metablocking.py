@@ -58,32 +58,39 @@ def block_edge_weights(
     dropped blocks surface through ``dropped_sink``.
     """
     m = memberships.select(id_col, block_col).dropDuplicates([id_col, block_col])
-    counts = m.groupBy(id_col).agg(F.count("*").alias("n_blocks"))
+    # the PRE-cap |B_i| rides every membership row via a partition window
+    # (one exchange on the membership table, whose per-entity degree is a
+    # handful of blocking keys) and flows THROUGH the pair join — the
+    # former counts-dim join-back re-shuffled the much larger PAIR frame
+    # twice (node dims at 10^9 entities are far past broadcast range)
+    m = m.withColumn("_nb", F.count("*").over(Window.partitionBy(id_col)))
     kept, dropped = cap_buckets(m, [block_col], max_block)
     if dropped_sink is not None:
         dropped_sink(dropped)
-    left = kept.select(F.col(id_col).alias("left_id"), block_col)
-    right = kept.select(F.col(id_col).alias("right_id"), block_col)
+    left = kept.select(
+        F.col(id_col).alias("left_id"), F.col("_nb").alias("nl"), block_col
+    )
+    right = kept.select(
+        F.col(id_col).alias("right_id"), F.col("_nb").alias("nr"), block_col
+    )
     cbs = (
         left.join(right, block_col)
         .filter(F.col("left_id") < F.col("right_id"))
         .groupBy("left_id", "right_id")
-        .agg(F.count("*").alias("cbs"))
-    )
-    lc = counts.select(F.col(id_col).alias("left_id"), F.col("n_blocks").alias("nl"))
-    rc = counts.select(F.col(id_col).alias("right_id"), F.col("n_blocks").alias("nr"))
-    return (
-        cbs.join(lc, "left_id")
-        .join(rc, "right_id")
-        .select(
-            "left_id",
-            "right_id",
-            "cbs",
-            F.round(
-                F.col("cbs").cast("double") / (F.col("nl") + F.col("nr") - F.col("cbs")),
-                precision,
-            ).alias("js"),
+        .agg(
+            F.count("*").alias("cbs"),
+            F.first("nl").alias("nl"),  # per-entity constant within the group
+            F.first("nr").alias("nr"),
         )
+    )
+    return cbs.select(
+        "left_id",
+        "right_id",
+        "cbs",
+        F.round(
+            F.col("cbs").cast("double") / (F.col("nl") + F.col("nr") - F.col("cbs")),
+            precision,
+        ).alias("js"),
     )
 
 
