@@ -19,10 +19,16 @@ def multi_match_veto(
     """Drop records matched by more than one entity (A1; the 1:1 core,
     matcher.py:1429-1441).  One partition-window count — the same
     one-exchange shape as :func:`prefer_unique` and the CC star passes
-    (a groupBy + join-back would shuffle the edge table twice)."""
+    (a groupBy + join-back would shuffle the edge table twice).
+
+    NULL record ids are dropped explicitly: they cannot claim a 1:1
+    match (the former join-back shape dropped them as a side effect of
+    inner-join key semantics; the window would otherwise pool all NULLs
+    into one partition and keep a lone NULL-key edge)."""
     w = Window.partitionBy(record_col)
     return (
-        edges.withColumn("__claims", F.count("*").over(w))
+        edges.filter(F.col(record_col).isNotNull())
+        .withColumn("__claims", F.count("*").over(w))
         .filter(F.col("__claims") == 1)
         .drop("__claims")
     )

@@ -364,6 +364,20 @@ def test_multi_match_veto(spark):
     assert got == {("e3", "r2")}
 
 
+def test_multi_match_veto_drops_null_record_ids(spark):
+    """A NULL record id cannot claim a 1:1 match — dropped, not pooled
+    with other NULLs by the window partition (and two NULLs must not
+    veto each other into visibility either)."""
+    one_null = spark.createDataFrame(
+        [("e1", "r1"), ("e2", None)], "left_id string, right_id string"
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in resolve.multi_match_veto(one_null).collect()
+    }
+    assert got == {("e1", "r1")}
+
+
 def test_multimodal_resize_and_frames(spark):
     from osm_wikidata_spark.operators.multimodal import (
         resize_images,
