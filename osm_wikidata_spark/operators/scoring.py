@@ -312,13 +312,20 @@ def soft_tfidf(
             "idf"
         )
 
+    from pyspark.sql.window import Window
+
     lw = _side(left_col, "_lt", "_lidf")
     rw = _side(right_col, "_rt", "_ridf")
-    lnorm = lw.groupBy(*cols).agg(
-        F.sqrt(F.sum(F.col("_lidf") * F.col("_lidf"))).alias("_lnorm")
+    # per-side ||S||₂ rides each token row via a partition window over the
+    # pair key — one exchange per side, already keyed exactly as the
+    # token-cross join below needs (the former groupBy norms re-joined
+    # onto the PAIR frame, re-shuffling it once per side at scale)
+    wp = Window.partitionBy(*cols)
+    lw = lw.withColumn(
+        "_lnorm", F.sqrt(F.sum(F.col("_lidf") * F.col("_lidf")).over(wp))
     )
-    rnorm = rw.groupBy(*cols).agg(
-        F.sqrt(F.sum(F.col("_ridf") * F.col("_ridf"))).alias("_rnorm")
+    rw = rw.withColumn(
+        "_rnorm", F.sqrt(F.sum(F.col("_ridf") * F.col("_ridf")).over(wp))
     )
     crossed = lw.join(rw, cols).withColumn(
         "_jw", F.round(jaro_winkler_udf(F.col("_lt"), F.col("_rt")), precision)
@@ -331,21 +338,26 @@ def soft_tfidf(
     # ArrowEvalPython nodes; plan-pinned to one in tests/test_plans.py)
     best = (
         crossed.groupBy(*cols, "_lt", "_lidf")
-        .agg(F.max(F.struct("_jw", "_ridf")).alias("_b"))
+        .agg(
+            F.max(F.struct("_jw", "_ridf")).alias("_b"),
+            F.first("_lnorm").alias("_lnorm"),  # pair constants
+            F.first("_rnorm").alias("_rnorm"),
+        )
         .filter(F.col("_b._jw") >= theta)
     )
     raw = best.groupBy(*cols).agg(
-        F.sum(F.col("_lidf") * F.col("_b._ridf") * F.col("_b._jw")).alias("_raw")
+        F.sum(F.col("_lidf") * F.col("_b._ridf") * F.col("_b._jw")).alias("_raw"),
+        F.first("_lnorm").alias("_lnorm"),
+        F.first("_rnorm").alias("_rnorm"),
     )
     score = F.when(
         (F.col("_lnorm") > 0) & (F.col("_rnorm") > 0) & F.col("_raw").isNotNull(),
         F.col("_raw") / (F.col("_lnorm") * F.col("_rnorm")),
     ).otherwise(F.lit(0.0))
-    return (
-        pairs.join(lnorm, cols, "left")
-        .join(rnorm, cols, "left")
-        .join(raw, cols, "left")
-        .select(*cols, F.round(score, precision).alias(out_col))
+    # single assembly join: pairs with an empty/θ-filtered token cross get
+    # NULL _raw from the left join and score 0.0, exactly as before
+    return pairs.join(raw, cols, "left").select(
+        *cols, F.round(score, precision).alias(out_col)
     )
 
 
