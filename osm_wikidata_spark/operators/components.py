@@ -3,14 +3,16 @@
 
 Implements the alternating large-star / small-star algorithm of Kiveris et
 al., "Connected Components in MapReduce and Beyond" (SOCC'14) as pure
-DataFrame self-join + min-aggregation rounds:
+DataFrame min-over-partition-window rounds:
 
 * **large-star**: for every node u, connect each strictly-larger neighbour
   to min(Γ(u) ∪ {u}).
 * **small-star**: for every node u, connect u and each neighbour ≤ u to the
   minimum of that set.
 
-Each star pass is one shuffle (groupBy u) plus one broadcast-free join back;
+Each star pass is ONE shuffle: the per-node minimum is a window aggregate
+over the neighbour rows already co-located by u (a groupBy + join-back
+would shuffle the neighbour table a second time — see _large_star);
 convergence is when the edge set is a fixpoint (a forest of depth-1 stars
 whose centres are the component minima).  Rounds are ``localCheckpoint``-ed
 so lineage stays bounded — the 10^12-scale variant swaps that for a
