@@ -118,12 +118,18 @@ def fellegi_sunter_em(
     # pattern-counts collect (unbounded cardinality) and crash m[k][v]
     # indexing with values like 1.0 — reject it while the plan is lazy
     _INTEGRAL = {"tinyint", "smallint", "int", "bigint", "boolean"}
+    # analyzer-style case-insensitive resolution (spark.sql.caseSensitive
+    # defaults to false, so groupBy would have resolved these names)
+    dtypes = {name.lower(): dt for name, dt in cv.dtypes}
     for g in gamma_cols:
-        dt = dict(cv.dtypes).get(g)
+        dt = dtypes.get(g.lower())
+        if dt is None:
+            raise ValueError(f"gamma column {g!r} not found in cv")
         if dt not in _INTEGRAL:
             raise ValueError(
                 f"gamma column {g!r} must be an integral ordinal type, got "
-                f"{dt!r} — band continuous scores first (see band_gamma)"
+                f"{dt!r} — band continuous scores first (see "
+                "comparison_vectors)"
             )
     counts = cv.groupBy(*gamma_cols).agg(F.count("*").alias("n_pairs"))
     rows = counts.collect()  # bounded by Π levels, documented carve-out

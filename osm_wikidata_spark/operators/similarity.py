@@ -507,59 +507,61 @@ def kmeans_fit(
 
         valid = valid.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # seeded hash-sample init: oversample, dedupe driver-side, take k
-    cand = (
-        valid.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
-        .limit(max(4 * k, k + 8))
-        .collect()
-    )
-    init: list[tuple[float, ...]] = []
-    seen: set[tuple[float, ...]] = set()
-    for row in cand:
-        key = tuple(row[vec_col])
-        if key not in seen:
-            seen.add(key)
-            init.append(key)
-        if len(init) == k:
-            break
-    if len(init) < k:
-        raise ValueError(
-            f"kmeans_fit: only {len(init)} distinct vectors for k={k}"
+    try:
+        # seeded hash-sample init: oversample, dedupe driver-side, take k
+        cand = (
+            valid.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+            .limit(max(4 * k, k + 8))
+            .collect()
         )
-    cb = np.asarray(init, dtype=np.float64)
+        init: list[tuple[float, ...]] = []
+        seen: set[tuple[float, ...]] = set()
+        for row in cand:
+            key = tuple(row[vec_col])
+            if key not in seen:
+                seen.add(key)
+                init.append(key)
+            if len(init) == k:
+                break
+        if len(init) < k:
+            raise ValueError(
+                f"kmeans_fit: only {len(init)} distinct vectors for k={k}"
+            )
+        cb = np.asarray(init, dtype=np.float64)
 
-    partial_schema = "cell long, n long, s array<double>"
+        partial_schema = "cell long, n long, s array<double>"
 
-    for _ in range(n_iter):
-        assigned = ivf_assign(valid, cb.tolist(), id_col, vec_col).select(
-            vec_col, "cell"
-        )
+        for _ in range(n_iter):
+            assigned = ivf_assign(valid, cb.tolist(), id_col, vec_col).select(
+                vec_col, "cell"
+            )
 
-        def _partials(batches):
-            for pdf in batches:
-                sub = pdf[pdf["cell"].notna()]
-                if len(sub) == 0:
-                    continue
-                cells, ns, sums = [], [], []
-                for c, g in sub.groupby("cell"):
-                    mat = np.stack(g[vec_col].to_numpy())
-                    cells.append(int(c))
-                    ns.append(len(g))
-                    sums.append(mat.sum(axis=0).tolist())
-                yield pd.DataFrame({"cell": cells, "n": ns, "s": sums})
+            def _partials(batches):
+                for pdf in batches:
+                    sub = pdf[pdf["cell"].notna()]
+                    if len(sub) == 0:
+                        continue
+                    cells, ns, sums = [], [], []
+                    for c, g in sub.groupby("cell"):
+                        mat = np.stack(g[vec_col].to_numpy())
+                        cells.append(int(c))
+                        ns.append(len(g))
+                        sums.append(mat.sum(axis=0).tolist())
+                    yield pd.DataFrame({"cell": cells, "n": ns, "s": sums})
 
-        rows = assigned.mapInPandas(_partials, partial_schema).collect()
-        counts = np.zeros(k, dtype=np.int64)
-        sums = np.zeros_like(cb)
-        for r in rows:
-            counts[r["cell"]] += r["n"]
-            sums[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
-        occupied = counts > 0
-        cb[occupied] = sums[occupied] / counts[occupied, None]
-
-    if persist:
-        valid.unpersist()
+            rows = assigned.mapInPandas(_partials, partial_schema).collect()
+            counts = np.zeros(k, dtype=np.int64)
+            sums = np.zeros_like(cb)
+            for r in rows:
+                counts[r["cell"]] += r["n"]
+                sums[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+            occupied = counts > 0
+            cb[occupied] = sums[occupied] / counts[occupied, None]
+    finally:
+        # the "unpersisted before return" contract must hold on error
+        # paths too (e.g. the too-few-distinct-vectors ValueError above)
+        if persist:
+            valid.unpersist()
     return cb.tolist()
 
 

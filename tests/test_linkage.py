@@ -148,12 +148,18 @@ def test_em_rejects_non_integral_gamma_dtype(spark):
     dbl_cv = spark.createDataFrame(
         [(0.9, 1), (0.1, 0)], "g_a double, g_b int"
     )
-    with pytest.raises(ValueError, match="g_a.*integral.*band_gamma"):
+    with pytest.raises(ValueError, match="g_a.*integral.*comparison_vectors"):
         fellegi_sunter_em(dbl_cv, ["g_a", "g_b"], [3, 3], n_iter=2)
 
     missing_cv = spark.createDataFrame([(0,)], "g_b int")
-    with pytest.raises(ValueError, match="g_a"):
+    with pytest.raises(ValueError, match="g_a.*not found"):
         fellegi_sunter_em(missing_cv, ["g_a", "g_b"], [3, 3], n_iter=2)
+
+    # the analyzer resolves case-insensitively (spark.sql.caseSensitive
+    # defaults false), so the gate must too
+    upper_cv = spark.createDataFrame([(0, 0), (1, 1)], "G_A int, g_b int")
+    patterns, _ = fellegi_sunter_em(upper_cv, ["g_a", "g_b"], [3, 3], n_iter=2)
+    assert patterns.count() == 2
 
 
 def test_score_pairs_fs_broadcast_join(spark):

@@ -377,6 +377,16 @@ def test_multi_match_veto_drops_null_record_ids(spark):
     }
     assert got == {("e1", "r1")}
 
+    two_nulls = spark.createDataFrame(
+        [("e1", "r1"), ("e2", None), ("e3", None)],
+        "left_id string, right_id string",
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in resolve.multi_match_veto(two_nulls).collect()
+    }
+    assert got == {("e1", "r1")}
+
 
 def test_multimodal_resize_and_frames(spark):
     from osm_wikidata_spark.operators.multimodal import (

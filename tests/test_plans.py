@@ -176,6 +176,9 @@ def test_pair_cosine_norms_stay_below_the_join(spark):
     assert "SQRT" not in above_children, "norms recomputed per pair"
     assert above_children.count("zip_with") >= 1  # the dot stayed per-pair
     assert plan.count("SQRT") == 2  # exactly one norm per side, per row
+
+
+def test_c4_filters_is_shuffle_free(spark):
     """C4 line/doc filters are a pure per-row map: zero exchanges, so the
     operator composes anywhere in a pipeline without a repartition."""
     import __spark_entry__ as entry
