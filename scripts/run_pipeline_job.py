@@ -22,6 +22,17 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--synth-convs", type=int, default=0,
                     help="generate N synthetic conversations instead of --input")
+    ap.add_argument("--snm-window", type=int, default=None,
+                    help="opt-in sorted-neighborhood blocking channel width")
+    ap.add_argument("--cnp-k", type=int, default=None,
+                    help="opt-in meta-blocking CNP pruning: keep pairs in "
+                         "either endpoint's top-k by block overlap")
+    ap.add_argument("--fs-bands", default=None,
+                    help='opt-in Fellegi-Sunter stage: JSON column->ascending '
+                         'thresholds, e.g. \'{"jaro_winkler": [0.7, 0.9]}\'')
+    ap.add_argument("--fs-thresholds", type=float, nargs=2, default=(0.0, 0.0),
+                    metavar=("LOWER", "UPPER"),
+                    help="FS three-way decision cut points (with --fs-bands)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
@@ -35,6 +46,9 @@ def main() -> None:
             raise SystemExit("--input or --synth-convs required")
         transcripts = spark.read.parquet(args.input)
 
+    import json
+
+    fs_bands = json.loads(args.fs_bands) if args.fs_bands else None
     out = run_pipeline(
         spark,
         transcripts,
@@ -42,9 +56,15 @@ def main() -> None:
         run_id=args.run_id,
         max_block_size=args.max_block_size,
         salt=args.salt,
+        snm_window=args.snm_window,
+        cnp_k=args.cnp_k,
+        fs_bands=fs_bands,
+        fs_thresholds=tuple(args.fs_thresholds),
     )
     n = out["components"].count()
     print(f"components rows: {n}; stages under {args.run_dir}")
+    if fs_bands is not None:
+        print(f"fs_pairs rows: {out['fs_pairs'].count()}")
 
 
 if __name__ == "__main__":
