@@ -214,8 +214,14 @@ def repetition_stats(
             ),
         )
 
+    # NB: the lambda is load-bearing — F.trim grew an optional second
+    # (trim-characters) parameter in Spark 4, so passing it bare would make
+    # transform() call trim(line, index): each line stripped of its INDEX's
+    # digit characters instead of spaces (caught by the randomized
+    # differential test on edge-space lines; the sf0.01 oracle data never
+    # exercised them)
     lines_arr = F.filter(
-        F.transform(F.split(F.col(text_col), line_delim), F.trim),
+        F.transform(F.split(F.col(text_col), line_delim), lambda x: F.trim(x)),
         lambda x: x != "",
     )
 
