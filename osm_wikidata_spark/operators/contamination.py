@@ -38,7 +38,13 @@ def contaminated_docs(
     distinct eval documents hit.  ``filter(...)`` on the output is the
     drop list; documents shorter than ``shingle_n`` words produce one
     sub-length shingle and can only hit an identical short eval doc.
+    Null-text rows on either side carry no shingles and are dropped
+    (without the gate the shingle expression degenerates to a constant
+    seed-hash for null text — see ``dedup.minhash_band_keys`` — so a
+    null train doc would spuriously "hit" a null eval doc).
     """
+    train = train.filter(F.col(text_col).isNotNull())
+    eval_docs = eval_docs.filter(F.col(eval_text_col).isNotNull())
     t = train.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingle_hashes(text_col, shingle_n)).alias("shingle"),
@@ -88,6 +94,9 @@ def fuzzy_contaminated_docs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # null-text gate on both sides — see contaminated_docs
+    train = train.filter(F.col(text_col).isNotNull())
+    eval_docs = eval_docs.filter(F.col(eval_text_col).isNotNull())
     t = train.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingle_hashes(text_col, shingle_n)).alias("shingle"),

@@ -80,6 +80,10 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """
     return (
         docs.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fingerprint"))
+        # null-text docs are not duplicates of each other (same convention
+        # as duplicate_mapping; groupBy would otherwise cluster them all
+        # under the null fingerprint)
+        .filter(F.col("fingerprint").isNotNull())
         .groupBy("fingerprint")
         .agg(
             F.count("*").alias("n_docs"),
@@ -210,6 +214,14 @@ def minhash_band_keys(
     two paths are candidate-equivalent by construction.
     """
     rows_per_band = n_hashes // bands
+    # null-text docs carry no shingles and must generate no keys (the
+    # duplicate_mapping convention): without this gate the shingle
+    # expression degenerates to a CONSTANT one-element hash array for
+    # every null doc (split(null)→null rides the greatest(…,1) guard into
+    # xxhash64(null) = the seed hash), silently bucketing all null docs
+    # together — and an identical-set group is exactly the shape no
+    # downstream filter can prune (k docs → k² candidate pairs at scale)
+    docs = docs.filter(F.col(text_col).isNotNull())
     # flat explode + groupBy(min×n) instead of nested array expressions:
     # keeps the per-row expression tree small so whole-stage codegen holds,
     # and the mins combine map-side (same pattern as simhash_table).
@@ -338,7 +350,10 @@ def ngram_jaccard_pairs(
     the SQL oracle intersects true shingle strings and stays
     hash-identical at any collision-free scale.
     """
-    with_sets = docs.select(
+    # null-text gate: see minhash_band_keys — null docs would otherwise
+    # share a constant one-element shingle set (J=1.0 with every other
+    # null doc), an unprunable identical-set k² group
+    with_sets = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
         word_shingle_hashes(text_col, shingle_n).alias("sh"),
     ).withColumn("set_size", F.size("sh"))
@@ -474,6 +489,10 @@ def simhash_table(
     bit.  This beats a per-row higher-order aggregate by keeping the plan
     flat and letting whole-stage codegen fuse the 60 sums.
     """
+    # null-text gate: see minhash_band_keys — a null doc's shingle array
+    # degenerates to [null], whose seed-hash vote would give every null
+    # doc the SAME sim (Hamming-0 with each other)
+    docs = docs.filter(F.col(text_col).isNotNull())
     # xxhash64 over the shingle: the per-bit votes only need a uniform
     # 64-bit hash (bits 0..59 are extracted below); sign extension is
     # irrelevant to single-bit masks
