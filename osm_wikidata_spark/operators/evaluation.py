@@ -84,8 +84,10 @@ def pairwise_cluster_metrics(
         (F.col("true_pairs") - F.col("tp")).alias("fn"),
         _ratio(F.col("tp"), F.col("pred_pairs")).alias("p"),
         _ratio(F.col("tp"), F.col("true_pairs")).alias("r"),
-        (F.col("b3p_num") / F.col("n_items")).alias("b3p"),
-        (F.col("b3r_num") / F.col("n_items")).alias("b3r"),
+        # _ratio, not a bare divide: an EMPTY labels frame gives
+        # n_items = 0, which is a hard DIVIDE_BY_ZERO under ANSI mode
+        _ratio(F.col("b3p_num"), F.col("n_items")).alias("b3p"),
+        _ratio(F.col("b3r_num"), F.col("n_items")).alias("b3r"),
     )
     return with_pr.select(
         "n_items",

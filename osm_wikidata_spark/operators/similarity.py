@@ -38,8 +38,25 @@ def l2_norm(a: F.Column) -> F.Column:
     )
 
 
+def _safe_div(num: F.Column, den: F.Column) -> F.Column:
+    """NULL — not a crash, not NaN — for degenerate cosine inputs.
+
+    Under Spark 4's default ANSI mode a zero divisor (a zero-norm
+    vector, the classic corrupt-embedding row) is a hard
+    DIVIDE_BY_ZERO **job failure**; with ANSI off it yields NULL.  A
+    NaN element is worse than either: NaN propagates through dot/norm
+    and sorts GREATER than every double, so one corrupt vector would
+    ride a descending sort to the top of every top-k list.
+    ``try_divide`` restores NULL-on-zero under both ANSI modes;
+    ``nanvl`` maps NaN results to NULL.  NULL cos fails every
+    ``>= threshold`` filter and sorts last under ``desc`` (Spark's
+    default nulls-last), so degenerate vectors become unfindable
+    instead of job-killing or list-topping."""
+    return F.nanvl(F.try_divide(num, den), F.lit(None).cast("double"))
+
+
 def cosine(a: F.Column, b: F.Column) -> F.Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return _safe_div(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def _norm_cosine(
@@ -50,12 +67,13 @@ def _norm_cosine(
     recomputed per PAIR.  Bit-identical to :func:`cosine` (the norms are
     the same float values computed with the same ops, and the divide is
     the same divide — measured 0 mismatches at 6dp over 500k sf0.1
-    pairs, including the NULL-on-zero-divisor case), but per-pair work
-    drops from three O(dim) array aggregates to one: norms become part
-    of the O(N·dim) row-side term, leaving the dot as the only O(P·dim)
-    term.  At the N²/k candidate volumes of semdedup / LSH rerank this
-    measured ~2× on the whole edge stage (sf0.1: 5.9 s → 3.0 s)."""
-    return dot(lv, rv) / (ln * rn)
+    pairs, including the NULL-on-degenerate case via :func:`_safe_div`),
+    but per-pair work drops from three O(dim) array aggregates to one:
+    norms become part of the O(N·dim) row-side term, leaving the dot as
+    the only O(P·dim) term.  At the N²/k candidate volumes of semdedup /
+    LSH rerank this measured ~2× on the whole edge stage
+    (sf0.1: 5.9 s → 3.0 s)."""
+    return _safe_div(dot(lv, rv), ln * rn)
 
 
 def brute_force_top_k(
