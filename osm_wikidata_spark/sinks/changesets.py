@@ -193,13 +193,20 @@ def parse_osm_change(payloads: DataFrame, col: str = "payload") -> DataFrame:
     wd = F.filter(F.col("e.tag"), lambda t: t["_k"] == "wikidata")
     return (
         elems.select(
-            F.col("e.changeset").cast("long").alias("changeset_id"),
+            # try_cast, not cast: these ride in as XML attribute STRINGS,
+            # and under ANSI mode (Spark 4 default) one malformed
+            # attribute or wikidata tag value ("QABC", "") would fail the
+            # whole ETL job; NULL marks the malformed element instead
+            F.col("e.changeset").try_cast("long").alias("changeset_id"),
             F.col("e.osm_type").alias("osm_type"),
-            F.col("e.id").cast("long").alias("osm_id"),
+            F.col("e.id").try_cast("long").alias("osm_id"),
             F.col("e.ts").alias("saved"),
             wd.alias("__wd"),
         )
         .filter(F.size("__wd") > 0)
-        .withColumn("item_id", F.substring(F.col("__wd")[0]["_v"], 2, 18).cast("long"))
+        .withColumn(
+            "item_id",
+            F.substring(F.col("__wd")[0]["_v"], 2, 18).try_cast("long"),
+        )
         .select("changeset_id", "osm_type", "osm_id", "saved", "item_id")
     )

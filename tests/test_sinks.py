@@ -83,6 +83,27 @@ def test_parse_osm_change_roundtrip(spark):
     ]
 
 
+def test_parse_osm_change_malformed_values_null_not_crash(spark):
+    """Attribute/tag values ride in as XML strings; under ANSI mode a
+    plain cast would make one malformed element ("QABC", changeset="x")
+    a whole-job DIVIDE-class failure.  try_cast marks them NULL and the
+    well-formed siblings survive."""
+    payload = (
+        "<osmChange>"
+        '<modify><node changeset="x" id="11" timestamp="T">'
+        '<tag k="wikidata" v="QABC"/></node></modify>'
+        '<modify><way changeset="55" id="22" timestamp="T2">'
+        '<tag k="wikidata" v="Q7"/></way></modify>'
+        "</osmChange>"
+    )
+    df = spark.createDataFrame([(payload,)], "payload string")
+    rows = sorted(
+        (r["osm_type"], r["changeset_id"], r["osm_id"], r["item_id"])
+        for r in parse_osm_change(df).collect()
+    )
+    assert rows == [("node", None, 11, None), ("way", 55, 22, 7)]
+
+
 def test_parse_osm_change_absent_actions_and_kinds(spark):
     """Documents missing whole actions/kinds parse as null arrays — the
     null→[] coalescing must keep sibling elements alive (flatten/concat
