@@ -120,7 +120,12 @@ def prefer_key_over_building(
     candidates whose only matching tag is a building tag."""
     mt = F.col("matching_tags")
     preferred = F.exists(mt, lambda t: t.startswith(key + "="))
-    others_ok = (F.size(mt) == 1) & mt[0].startswith("building")
+    # F.get, not mt[0]: the subscript would be guarded only by the AND's
+    # evaluation order (size == 1 first), which the optimizer is free to
+    # reorder — and under ANSI mode an out-of-bounds subscript on an
+    # empty matching_tags array is a hard job failure.  get() returns
+    # NULL out of bounds; NULL & ... stays falsy for the keep decision.
+    others_ok = (F.size(mt) == 1) & F.get(mt, 0).startswith("building")
     return _keep_unique_preferred(cands, preferred, others_ok, group_col)
 
 
