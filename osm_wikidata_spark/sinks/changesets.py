@@ -206,7 +206,10 @@ def parse_osm_change(payloads: DataFrame, col: str = "payload") -> DataFrame:
         .filter(F.size("__wd") > 0)
         .withColumn(
             "item_id",
-            F.substring(F.col("__wd")[0]["_v"], 2, 18).try_cast("long"),
+            # F.get, not [0]: the guard is the preceding size() filter,
+            # which Catalyst may collapse with this projection — get()
+            # returns NULL out of bounds instead of faulting under ANSI.
+            F.substring(F.get(F.col("__wd"), 0)["_v"], 2, 18).try_cast("long"),
         )
         .select("changeset_id", "osm_type", "osm_id", "saved", "item_id")
     )
