@@ -98,13 +98,19 @@ def _acronym_keys(names: F.Column) -> F.Column:
             F.lit("acro:"),
             F.array_join(F.transform(words, lambda w: F.substring(w, 1, 1)), ""),
         )
-        single = F.concat(F.lit("acro:"), F.element_at(words, 1))
+        # F.get, not element_at: a punctuation-only name tokenises to an
+        # EMPTY words array, and the size()==1 conjunct guards the
+        # subscript only under left-to-right And evaluation, which the
+        # optimizer doesn't promise — get() nulls out of bounds instead
+        # of faulting the job under ANSI (NULL & ... stays falsy here).
+        first = F.get(words, 0)
+        single = F.concat(F.lit("acro:"), first)
         return (
             F.when(F.size(words) >= 3, multi)
             .when(
                 (F.size(words) == 1)
-                & F.length(F.element_at(words, 1)).between(3, 6)
-                & F.element_at(words, 1).rlike("^[a-z]+$"),
+                & F.length(first).between(3, 6)
+                & first.rlike("^[a-z]+$"),
                 single,
             )
         )
@@ -452,7 +458,7 @@ def run_pipeline(
             snm = sorted_neighborhood_pairs(
                 entities.select(
                     F.col("conv_id"),
-                    F.element_at(F.col("names"), 1).alias("primary_name"),
+                    F.get(F.col("names"), 0).alias("primary_name"),
                 ),
                 "conv_id",
                 "primary_name",
@@ -542,7 +548,7 @@ def run_pipeline(
 
         def _fs() -> DataFrame:
             prim = entities.select(
-                "conv_id", F.element_at(F.col("names"), 1).alias("primary_name")
+                "conv_id", F.get(F.col("names"), 0).alias("primary_name")
             )
             scored = score_name_pairs(
                 pairs.join(

@@ -47,6 +47,26 @@ def test_pipeline_f1(spark):
     assert f1 >= 0.99, f"pairwise F1 {f1:.4f} < 0.99"
 
 
+def test_acronym_keys_tolerate_empty_tokenisation(spark):
+    """A punctuation-only name tokenises to an EMPTY words array; the
+    acronym channel must null it out, not fault the job on an
+    out-of-bounds subscript under ANSI (the size()==1 guard is only an
+    And conjunct, whose evaluation order the optimizer doesn't promise)."""
+    from osm_wikidata_spark.plans.pipeline import _acronym_keys
+
+    df = spark.createDataFrame(
+        [(["–—"],), (["..."],), (["nasa"],), (["the grand old house"],)],
+        "names array<string>",
+    )
+    rows = df.select(_acronym_keys(F.col("names")).alias("keys")).collect()
+    assert [r["keys"] for r in rows] == [
+        [],
+        [],
+        ["acro:nasa"],
+        ["acro:tgoh"],
+    ]
+
+
 def test_entity_extraction(spark):
     transcripts, _ = synth_transcripts(spark, n_conversations=29, turns_per_conv=4)
     entities = extract_entities(transcripts)
