@@ -40,6 +40,10 @@ def names_from_entity(
         title = link["title"]
         if title.startswith(_CATEGORY_PREFIX):
             title = title[len(_CATEGORY_PREFIX):]
+        if not title:
+            # a bare "Category:" title strips to nothing — skip the
+            # malformed sitelink rather than fail the whole Arrow batch
+            continue
         # merge with an existing lowercase-first variant
         if title[0].isupper():
             folded = title[0].lower() + title[1:]

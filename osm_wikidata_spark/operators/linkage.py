@@ -147,6 +147,12 @@ def fellegi_sunter_em(
                 )
     ns = [float(r["n_pairs"]) for r in rows]
     total = sum(ns)
+    if total <= 0:
+        raise ValueError(
+            "comparison-vector frame is empty — Fellegi-Sunter EM needs "
+            "at least one candidate pair to fit (did blocking/CNP prune "
+            "every pair?)"
+        )
 
     m = [_init_probs(nl, True) for nl in levels]
     u = [_init_probs(nl, False) for nl in levels]

@@ -13,16 +13,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# F1 name-projection blacklist (match.py:74-82)
-_NON_NAME_KEYS = (
-    "tiger:name_base",
-    "name:right",
-    "name:left",
-    "gnis:county_name",
-    "openGeoDB:name",
-    "addr:street:name",
-    "name:source",
-)
+# F1 name-projection blacklist (match.py:74-82) — the single shared
+# definition, so within-context names and record display names can
+# never disagree on what counts as a name
+from ..kernel.records import NON_NAME_KEYS as _NON_NAME_KEYS
 
 
 def container_display_names(tags: F.Column) -> F.Column:

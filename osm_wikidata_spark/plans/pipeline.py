@@ -568,6 +568,16 @@ def run_pipeline(
             gcols = [f"gamma_{c}" for c in fs_bands]
             levels = [len(t) + 1 for t in fs_bands.values()]
             cv = comparison_vectors(scored, fs_bands)
+            if cv.isEmpty():
+                # nothing to fit (blocking produced zero candidate
+                # pairs) — emit an empty decisions frame with the same
+                # schema instead of letting EM fail on no sufficient
+                # statistics
+                return (
+                    cv.withColumn("match_weight", F.lit(None).cast("double"))
+                    .withColumn("posterior", F.lit(None).cast("double"))
+                    .withColumn("decision", F.lit(None).cast("string"))
+                )
             patterns, _params = fellegi_sunter_em(cv, gcols, levels)
             return fs_decisions(
                 score_pairs_fs(cv, patterns, gcols),

@@ -172,3 +172,9 @@ def test_score_pairs_fs_broadcast_join(spark):
         scored._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_em_rejects_empty_cv(spark):
+    empty = spark.createDataFrame([], "g_a int, g_b int")
+    with pytest.raises(ValueError, match="empty"):
+        fellegi_sunter_em(empty, ["g_a", "g_b"], [3, 3], n_iter=2)

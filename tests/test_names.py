@@ -67,6 +67,13 @@ def test_names_from_entity_edge_cases():
     }
     assert names_from_entity(entity) == {"Test Things": [("sitelink", "commonswiki")]}
 
+    # a bare "Category:" title strips to nothing — skipped, not IndexError
+    entity = {
+        "labels": {"en": {"language": "en", "value": "Thing"}},
+        "sitelinks": {"commonswiki": {"title": "Category:"}},
+    }
+    assert names_from_entity(entity) == {"Thing": [("label", "en")]}
+
     # alias gate: >3 aliases per language skipped (wikidata.py:963-965)
     entity = {
         "labels": {},
