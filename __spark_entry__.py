@@ -4175,7 +4175,7 @@ def oracle_sql() -> dict[str, str]:
                      (count(CASE WHEN role = prev_role THEN 1 END) = 0) AS roles_alternate,
                      bool_or(CASE WHEN turn_idx = first_idx THEN role = 'user' END)
                        AS starts_with_user,
-                     count(CASE WHEN trim(text) = '' THEN 1 END) AS n_empty_turns,
+                     count(CASE WHEN coalesce(trim(text), '') = '' THEN 1 END) AS n_empty_turns,
                      count(CASE WHEN text = prev_text THEN 1 END) AS n_stutter_turns,
                      count(CASE WHEN tool IS NOT NULL AND role <> 'assistant' THEN 1 END)
                        AS n_bad_tool_turns

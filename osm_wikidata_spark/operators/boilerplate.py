@@ -82,9 +82,16 @@ def line_dedup(
     intra-document repetition (operators/quality.py's job) cannot
     promote a line into the cross-document boilerplate set.
     """
+    # posexplode_outer, not posexplode: split(NULL) is NULL, which the
+    # inner variant explodes to ZERO rows — the null-text doc would
+    # vanish from the output entirely, violating the one-row-per-input-
+    # document contract (it survives as text=''/0/0 instead, same as a
+    # fully-boilerplate doc).
     lines = docs.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), line_delim)).alias("pos", "line"),
+        F.posexplode_outer(F.split(F.col(text_col), line_delim)).alias(
+            "pos", "line"
+        ),
     ).withColumn("norm", _norm_line(F.col("line")))
     # Boilerplate set: distinct (doc, norm) first so the doc-frequency
     # aggregation is over pre-deduped pairs; both steps are partial-agg
@@ -101,7 +108,8 @@ def line_dedup(
         boiler.withColumn("is_boiler", F.lit(True)), "norm", "left"
     )
     kept_struct = F.when(
-        F.col("is_boiler").isNull(), F.struct("pos", "line")
+        F.col("is_boiler").isNull() & F.col("line").isNotNull(),
+        F.struct("pos", "line"),
     )
     return (
         marked.groupBy(id_col)
@@ -162,8 +170,11 @@ def c4_line_filters(
         n_sentences.alias("n_sentences"),
         has_lorem.alias("has_lorem_ipsum"),
         has_curly.alias("has_curly_brace"),
-        (
-            (n_sentences >= min_sentences) & ~has_lorem & ~has_curly
+        # coalesce: NULL text nulls every flag; keep_doc must read as an
+        # explicit reject, not NULL, so downstream filters are deterministic
+        F.coalesce(
+            (n_sentences >= min_sentences) & ~has_lorem & ~has_curly,
+            F.lit(False),
         ).alias("keep_doc"),
     )
 

@@ -81,7 +81,12 @@ def conversation_qa(transcripts: DataFrame) -> DataFrame:
         F.max(
             F.when(F.col("turn_idx") == F.col("first_idx"), F.col("role") == "user")
         ).alias("starts_with_user"),
-        F.count_if(F.trim("text") == "").alias("n_empty_turns"),
+        # coalesce: a NULL-text turn is contentless and must count as
+        # empty — bare trim(NULL) == '' is NULL and count_if would skip
+        # it, letting a structurally broken conversation keep keep_conv
+        F.count_if(F.coalesce(F.trim("text"), F.lit("")) == "").alias(
+            "n_empty_turns"
+        ),
         F.count_if(F.col("text") == F.col("prev_text")).alias(
             "n_stutter_turns"
         ),

@@ -190,7 +190,16 @@ def prefer_stop_area_relation(
     )
     shrink = (
         (F.col("__n") >= 2)
-        & F.array_contains(F.col(expected_tags_col), "public_transport=stop_area")
+        # coalesce: NULL expected_tags (item absent from the dim) must
+        # make shrink FALSE so the group passes through untouched — a
+        # bare NULL here would null the keep filter and silently drop
+        # every non-stop-area candidate in the group
+        & F.coalesce(
+            F.array_contains(
+                F.col(expected_tags_col), "public_transport=stop_area"
+            ),
+            F.lit(False),
+        )
         & (F.col("__n_sa") >= 1)
     )
     return counted.filter(~shrink | (F.col("__sa") == 1)).drop(

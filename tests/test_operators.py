@@ -1198,6 +1198,30 @@ def test_line_dedup_intradoc_repeats_dont_count(spark):
     assert out[1] == 0 and out[2] == 0
 
 
+def test_line_dedup_null_text_keeps_contract_row(spark):
+    """One row per INPUT document: split(NULL) explodes to zero rows
+    under plain posexplode, which silently dropped null-text docs from
+    the output (and from curate() downstream, with no lineage row)."""
+    from osm_wikidata_spark.operators import boilerplate
+
+    df = spark.createDataFrame(
+        [(1, "real line one\nshared"), (2, "shared"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate.line_dedup(df, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["text"] == ""
+    assert out[3]["n_lines_kept"] == 0 and out[3]["n_lines_removed"] == 0
+
+
+def test_c4_null_text_rejected_not_null(spark):
+    from osm_wikidata_spark.operators import boilerplate
+
+    df = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    out = boilerplate.c4_line_filters(df).collect()[0]
+    assert out["keep_doc"] is False  # explicit reject, not NULL
+
+
 def test_c4_line_filters_planted(spark):
     from osm_wikidata_spark.operators import boilerplate
 
@@ -1304,6 +1328,25 @@ def test_conversation_qa_null_role_midstream(spark):
     )
     out = conversations.conversation_qa(df).collect()[0]
     assert out["starts_with_user"] is False
+    assert out["keep_conv"] is False
+
+
+def test_conversation_qa_null_text_counts_as_empty(spark):
+    """A NULL-text turn is contentless: it must count into n_empty_turns
+    (trim(NULL)='' is NULL, which count_if would silently skip) so the
+    conversation fails keep_conv instead of flowing into rendering."""
+    from osm_wikidata_spark.operators import conversations
+
+    rows = [
+        ("c", 0, "user", "hi", None),
+        ("c", 1, "assistant", None, None),
+        ("c", 2, "user", "still there?", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    out = conversations.conversation_qa(df).collect()[0]
+    assert out["n_empty_turns"] == 1
     assert out["keep_conv"] is False
 
 

@@ -140,6 +140,21 @@ def test_prefer_stop_area_relation(spark):
     assert _kept(out) == [1, 3, 4]
 
 
+def test_prefer_stop_area_null_expected_tags_passes_through(spark):
+    """NULL expected_tags (item absent from the dim) must leave the group
+    untouched — a bare NULL in the shrink predicate would silently drop
+    every non-stop-area candidate."""
+    rows = [
+        ("Q1", "relation", 1, "S", 10.0, {"public_transport": "stop_area"}, [], True),
+        ("Q1", "node", 2, "S", 10.0, {"public_transport": "platform"}, [], True),
+    ]
+    cands = _cands(spark, rows).withColumn(
+        "expected_tags", F.lit(None).cast("array<string>")
+    )
+    out = red.prefer_stop_area_relation(cands)
+    assert _kept(out) == [1, 2]
+
+
 # --------------------------------------------------------------- G7 / G8
 
 
