@@ -416,8 +416,9 @@ def ivf_top_k(
     and the rerank join touches ~``N · nprobe / n_cells`` candidates per
     query instead of N — the classic IVF trade.  Recall loss is confined
     to vectors whose cell is not probed; ``nprobe = n_cells`` degenerates
-    to brute force.  Returns (query_id, vec_id, cos), cos rounded to 6
-    and ranked like :func:`brute_force_top_k` (rounded-cos desc, vec_id).
+    to brute force.  Returns (query_id, vec_id, cos) ranked like
+    :func:`brute_force_top_k` — unrounded-cos desc with a vec_id
+    tiebreak; only the emitted cos is rounded to 6.
 
     The codebook ships worker-side in both UDF closures (same pattern as
     :func:`ivf_assign`); the probe explode emits ``nprobe`` compact rows
@@ -460,16 +461,18 @@ def ivf_top_k(
         l2_norm(F.col(query_vec_col)).alias("qn"),
         F.explode(_probes(F.col(query_vec_col))).alias("cell"),
     )
+    # rank on the UNROUNDED cosine (round only the output), exactly like
+    # brute_force_top_k — ranking on the rounded value would let the
+    # vec_id tiebreak flip near-ties within 1e-6 and break the
+    # nprobe=n_cells ≡ brute-force equivalence
     scored = assigned.join(probed, "cell").select(
         "query_id",
         "vec_id",
-        F.round(
-            _norm_cosine(F.col("v"), F.col("qv"), F.col("vn"), F.col("qn")), 6
-        ).alias("cos"),
+        _norm_cosine(F.col("v"), F.col("qv"), F.col("vn"), F.col("qn")).alias("cos"),
     )
     return top_k_per_group(
         scored, "query_id", "cos", k, ascending=False, tiebreak=["vec_id"]
-    ).select("query_id", "vec_id", "cos")
+    ).select("query_id", "vec_id", F.round("cos", 6).alias("cos"))
 
 
 def kmeans_fit(
@@ -480,10 +483,17 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist: bool = False,
+    dim: int | None = None,
 ) -> list[list[float]]:
     """Train an IVF codebook: distributed Lloyd's k-means over the
     embedding column (the offline step :func:`ivf_assign`'s docstring
     defers to the caller for).
+
+    ``dim`` declares the embedding dimension (rows of any other length
+    are excluded, matching :func:`ivf_assign`'s validation).  When None
+    it is inferred as the MODE of observed vector lengths — an
+    aggregation, not a ``first()`` probe, so the choice is deterministic
+    on any partitioning even when a corrupt short vector sorts first.
 
     Spark shapes, per iteration:
 
@@ -515,10 +525,16 @@ def kmeans_fit(
     import numpy as np
 
     valid = vectors.filter(F.col(vec_col).isNotNull())
-    dim_row = valid.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
-        raise ValueError("kmeans_fit: no non-null vectors")
-    dim = dim_row["d"]
+    if dim is None:
+        dim_row = (
+            valid.groupBy(F.size(vec_col).alias("d"))
+            .count()
+            .orderBy(F.desc("count"), F.asc("d"))
+            .first()
+        )
+        if dim_row is None:
+            raise ValueError("kmeans_fit: no non-null vectors")
+        dim = dim_row["d"]
     valid = valid.filter(F.size(vec_col) == dim).select(id_col, vec_col)
     if persist:
         from pyspark import StorageLevel

@@ -36,8 +36,16 @@ def exact_dedup_stream(
     ``operators.dedup.duplicate_mapping`` / ``dropDuplicates``.
     Pinned by tests/test_streaming.py (availableNow run: exactly one
     representative per fingerprint, none lost).
+
+    Null-text docs (fingerprint NULL) bypass the stateful dedup and pass
+    through unchanged: the batch family's convention is that null-text
+    docs are not duplicates of EACH OTHER, but the state store groups
+    NULL keys together and would silently drop all but the first.
     """
-    fp = docs.withColumn("fingerprint", F.md5(normalize_text(text_col)))
-    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        ["fingerprint"]
-    )
+    fp = docs.withColumn(
+        "fingerprint", F.md5(normalize_text(text_col))
+    ).withWatermark(ts_col, watermark)
+    deduped = fp.filter(
+        F.col("fingerprint").isNotNull()
+    ).dropDuplicatesWithinWatermark(["fingerprint"])
+    return deduped.unionByName(fp.filter(F.col("fingerprint").isNull()))

@@ -757,6 +757,23 @@ def test_kmeans_fit_null_ragged_and_empty_cells(spark):
     assert all(all(x == x for x in c) for c in cb)  # no NaN anywhere
 
 
+def test_kmeans_fit_dim_is_partitioning_invariant(spark):
+    """The inferred dim is the MODE of observed vector lengths, not
+    whatever row a first() probe happens to deliver — a corrupt short
+    vector must never hijack the dim and discard the real corpus, on any
+    partitioning."""
+    rows = [(0, [9.0])] + [
+        (i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(1, 40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    for df in (vecs, vecs.repartition(1), vecs.repartition(13)):
+        cb = similarity.kmeans_fit(df, k=2, n_iter=2, seed=0)
+        assert all(len(c) == 3 for c in cb)  # majority dim won
+    # explicit dim overrides inference entirely
+    cb = similarity.kmeans_fit(vecs, k=1, n_iter=1, seed=0, dim=1)
+    assert cb == [[9.0]]
+
+
 def test_hash_sampling_partitioning_invariant(spark):
     """The content-hash sample is a pure function of the data: identical
     row sets at different partitionings (df.sample is not), and the rate

@@ -304,6 +304,10 @@ def test_exact_dedup_stream_bounded_state(spark, tmp_path):
     for i in range(40):
         # 20 distinct texts, each duplicated once 30 s later
         rows.append((i, f"document text {i % 20}", 1700000000 + (i % 20) * 60 + (i // 20) * 30))
+    for i in range(3):
+        # null-text docs are NOT duplicates of each other (batch-family
+        # convention) — all three must pass through the stateful dedup
+        rows.append((100 + i, None, 1700000000 + i))
     docs = spark.createDataFrame(rows, "doc_id bigint, text string, epoch bigint").select(
         "doc_id", "text", F.timestamp_seconds("epoch").alias("ts")
     )
@@ -324,8 +328,10 @@ def test_exact_dedup_stream_bounded_state(spark, tmp_path):
     )
     q.awaitTermination(120)
     streamed = spark.read.parquet(out_dir).collect()
-    fps = [r["fingerprint"] for r in streamed]
+    fps = [r["fingerprint"] for r in streamed if r["fingerprint"] is not None]
     assert len(fps) == len(set(fps)) == 20  # one per distinct text, no dupes
+    null_ids = sorted(r["doc_id"] for r in streamed if r["fingerprint"] is None)
+    assert null_ids == [100, 101, 102]  # none collapsed into "duplicates"
 
 
 def test_incremental_assignments_equal_batch_cc(spark, tmp_path):
