@@ -140,6 +140,34 @@ def _commit_generation(state_dir: str, gen: str, keep: int = 2) -> None:
             shutil.rmtree(path, ignore_errors=True)
 
 
+def _merge_entity_rows(entities: DataFrame) -> DataFrame:
+    """Set-union merge of per-conversation entity rows.
+
+    A conversation whose turns span micro-batches has one PARTIAL entity
+    row per batch; keeping an arbitrary one (the old
+    ``dropDuplicates(["conv_id"])``) silently lost mentions, making
+    match decisions depend on union order.  The merge is EXACT because
+    every entity column is derived per NAME (token/full-name/acronym
+    keys, ending rules) or is itself a set/flag — the union of the
+    partial rows' arrays equals a fresh ``extract_entities`` over the
+    full conversation, and the decision context treats endings /
+    place_names as order-insensitive sets (``score_pairs`` sorts them
+    into the ctx fingerprint).  Idempotent, so a retried identical
+    micro-batch still collapses to the same row.
+    """
+    return entities.groupBy("conv_id").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("names")))).alias(
+            "names"
+        ),
+        F.array_distinct(F.flatten(F.collect_list("tokens"))).alias("tokens"),
+        F.array_distinct(F.flatten(F.collect_list("endings"))).alias("endings"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("place_names")))
+        ).alias("place_names"),
+        F.max("is_hamlet").alias("is_hamlet"),
+    )
+
+
 def incremental_edges_batch(
     spark: SparkSession,
     batch_transcripts: DataFrame,
@@ -160,17 +188,31 @@ def incremental_edges_batch(
         blocks_path, entities_path = live
         old_blocks = spark.read.parquet(blocks_path)
         old_entities = spark.read.parquet(entities_path)
-        # dedupe on identity: a retried micro-batch re-unions its rows, and
-        # duplicate block/entity rows would double-count pairs downstream
+        # dedupe blocks on identity: a retried micro-batch re-unions its
+        # rows, and duplicate block rows would double-count pairs downstream
         all_blocks = old_blocks.unionByName(new_blocks).dropDuplicates(
             ["block_id", "block_key"]
         )
-        all_entities = old_entities.unionByName(new_entities).dropDuplicates(
-            ["conv_id"]
+        # entities MERGE per conversation (same one-shuffle cost as the
+        # dropDuplicates this replaces) — see _merge_entity_rows
+        all_entities = _merge_entity_rows(
+            old_entities.unionByName(new_entities)
         )
     else:
         all_blocks = new_blocks
         all_entities = new_entities
+
+    # probe with EVERY key of every conversation touched by this batch,
+    # not just the batch's own partial keys: a conversation whose turns
+    # span batches gained mentions, so pairs reachable through its OLD
+    # keys must be (re)scored under the merged mention set.  Re-emitted
+    # edges are additive downstream (incremental CC unions matched
+    # edges), and the semi join is a broadcast of this batch's conv ids
+    # — no extra shuffle.
+    touched = F.broadcast(
+        new_entities.select(F.col("conv_id").alias("block_id")).distinct()
+    )
+    probe_source = all_blocks.join(touched, "block_id", "left_semi")
 
     # hot-key cap against GLOBAL counts: a key under the cap within every
     # single batch can still accumulate into a mega-block across batches
@@ -179,10 +221,10 @@ def incremental_edges_batch(
         hot = F.broadcast(
             sizes.filter(F.col("n") > max_block_size).select("block_key")
         )
-        probe_blocks = new_blocks.join(hot, "block_key", "left_anti")
+        probe_blocks = probe_source.join(hot, "block_key", "left_anti")
         build_blocks_side = all_blocks.join(hot, "block_key", "left_anti")
     else:
-        probe_blocks, build_blocks_side = new_blocks, all_blocks
+        probe_blocks, build_blocks_side = probe_source, all_blocks
 
     # candidate pairs touching at least one NEW conversation
     pairs = salted_pair_join(probe_blocks, build_blocks_side, salt=salt).filter(

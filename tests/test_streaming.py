@@ -366,6 +366,50 @@ def test_incremental_assignments_equal_batch_cc(spark, tmp_path):
         assert got == want
 
 
+def test_incremental_merges_conversations_spanning_batches(spark, tmp_path):
+    """A conversation whose turns span micro-batches must have its partial
+    entity rows MERGED (set union of mentions), not arbitrarily collapsed
+    by dropDuplicates — and its old block keys re-probed so pairs are
+    (re)scored under the merged mention set."""
+    from osm_wikidata_spark.streaming.incremental import state_paths
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    state = os.path.join(str(tmp_path), "span_state")
+    os.makedirs(state, exist_ok=True)
+
+    batch1 = spark.createDataFrame(
+        [
+            ("A", 0, "user", 'we visited "Alpha Tower" yesterday', None, None),
+            ("B", 0, "user", 'they renamed "Beta Hall" recently', None, None),
+        ],
+        schema,
+    )
+    # batch 2: A continues, now mentioning B's name exactly
+    batch2 = spark.createDataFrame(
+        [("A", 1, "user", 'it is also called "Beta Hall"', None, None)],
+        schema,
+    )
+    incremental_edges_batch(spark, batch1, state)
+    edges2 = incremental_edges_batch(spark, batch2, state)
+
+    blocks_path, entities_path = state_paths(state)
+    ents = {
+        r["conv_id"]: r for r in spark.read.parquet(entities_path).collect()
+    }
+    # merged, deterministic — not whichever partial row won a dropDuplicates
+    assert ents["A"]["names"] == ["Alpha Tower", "Beta Hall"]
+    assert ents["B"]["names"] == ["Beta Hall"]
+    # the A–B match is only reachable through the merged mention set
+    matched = {
+        (r["left_id"], r["right_id"])
+        for r in edges2.filter("matched").select("left_id", "right_id").collect()
+    }
+    assert ("A", "B") in matched
+
+
 def _neardup_corpus(spark):
     """30 docs: 10 near-dup triplets (tiny per-copy edits) with distinct
     vocab per family, so minhash bands collide within families only."""
