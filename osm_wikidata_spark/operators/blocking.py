@@ -55,26 +55,17 @@ def block_size_stats(blocks: DataFrame) -> DataFrame:
     return blocks.groupBy("block_key").agg(F.count("*").alias("block_n"))
 
 
-def salted_pair_join(
+def _candidate_pairs_raw(
     left_blocks: DataFrame,
     right_blocks: DataFrame,
-    salt: int = 8,
-    hot_threshold: int = 65536,
+    salt: int,
+    hot_threshold: int,
 ) -> DataFrame:
-    """Join two (block_key, block_id) indexes into candidate pairs.
-
-    Two-path skew defence: keys whose pair product ``left_n × right_n``
-    exceeds ``hot_threshold`` are joined salted — the left side gets a
-    deterministic per-row salt (hash of its id), the right side is exploded
-    across all ``salt`` values, so each hot key splits across ``salt``
-    reducers.  Every other key joins unsalted: a blanket ``salt``-fold
-    explode would multiply shuffle volume for the cold 99% of keys that
-    never needed it.  The hot list is tiny by construction (product > 65536
-    means ≥256 rows on a side) and is broadcast for the path split.
-
-    Dedups (left_id, right_id) pairs that co-occur in several blocks,
-    keeping the lexicographically-smallest key for lineage.
-    """
+    """The two-path join of :func:`salted_pair_join` WITHOUT the final
+    pair dedup — one (left_id, right_id, block_key) row per co-occurrence.
+    Split out so scripts/skew_bench.py can measure the join stage's
+    per-task balance directly (the dedup re-shuffles evenly by pair and
+    would hide it)."""
     left = left_blocks.select(F.col("block_id").alias("left_id"), "block_key")
     right = right_blocks.select(F.col("block_id").alias("right_id"), "block_key")
     if salt <= 1:
@@ -97,10 +88,53 @@ def salted_pair_join(
         salted_right = right.join(hot_b, "block_key").withColumn(
             "salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
         )
+        # PIN the hot join's parallelism with an explicit repartition-by-
+        # count on the join key (satisfies the join's distribution, so no
+        # second exchange).  Without it, AQE's partition coalescing UNDOES
+        # the salting: coalescing decisions read map-output BYTES, which
+        # never see join fan-out — and the hot path's input bytes are
+        # small at ANY corpus scale (hot keys are few and their members
+        # capped) while its output is the hot².  Measured in
+        # scripts/skew_bench.py: unpinned, AQE merged the 8 salt cells
+        # into one 64M-row task (max_task_share 0.996 — the exact
+        # straggler the salt exists to break); pinned, the cells stay
+        # separate.  AQE does not coalesce user-specified partition
+        # counts (REPARTITION_BY_NUM shuffle origin).
+        n_shuffle = int(
+            left_blocks.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        salted_left = salted_left.repartition(n_shuffle, "block_key", "salt")
         hot_pairs = salted_left.join(salted_right, ["block_key", "salt"]).drop("salt")
         pairs = cold_pairs.unionByName(hot_pairs)
-    return pairs.groupBy("left_id", "right_id").agg(
-        F.min("block_key").alias("block_key")
+    return pairs
+
+
+def salted_pair_join(
+    left_blocks: DataFrame,
+    right_blocks: DataFrame,
+    salt: int = 8,
+    hot_threshold: int = 65536,
+) -> DataFrame:
+    """Join two (block_key, block_id) indexes into candidate pairs.
+
+    Two-path skew defence: keys whose pair product ``left_n × right_n``
+    exceeds ``hot_threshold`` are joined salted — the left side gets a
+    deterministic per-row salt (hash of its id), the right side is exploded
+    across all ``salt`` values, so each hot key splits across ``salt``
+    reducers.  Every other key joins unsalted: a blanket ``salt``-fold
+    explode would multiply shuffle volume for the cold 99% of keys that
+    never needed it.  The hot list is tiny by construction (product > 65536
+    means ≥256 rows on a side) and is broadcast for the path split.
+    Measured balance evidence: scripts/skew_bench.py + BENCH.md (largest
+    join-stage task's share of the pair volume, salted vs not).
+
+    Dedups (left_id, right_id) pairs that co-occur in several blocks,
+    keeping the lexicographically-smallest key for lineage.
+    """
+    return (
+        _candidate_pairs_raw(left_blocks, right_blocks, salt, hot_threshold)
+        .groupBy("left_id", "right_id")
+        .agg(F.min("block_key").alias("block_key"))
     )
 
 
