@@ -100,9 +100,12 @@ def _candidate_pairs_raw(
         # straggler the salt exists to break); pinned, the cells stay
         # separate.  AQE does not coalesce user-specified partition
         # counts (REPARTITION_BY_NUM shuffle origin).
-        n_shuffle = int(
-            left_blocks.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        try:
+            n_shuffle = int(
+                left_blocks.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):  # e.g. "auto" under some vendors
+            n_shuffle = 200
         salted_left = salted_left.repartition(n_shuffle, "block_key", "salt")
         hot_pairs = salted_left.join(salted_right, ["block_key", "salt"]).drop("salt")
         pairs = cold_pairs.unionByName(hot_pairs)

@@ -388,3 +388,24 @@ def test_soft_tfidf_single_arrow_node(spark):
 
     plan = _formatted_plan(entry.queries()["q_soft_tfidf"](spark, SF))
     assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, flags=re.M)) == 1, plan
+
+
+def test_salted_hot_path_parallelism_is_pinned(spark):
+    """The salted hot-path join must carry a REPARTITION_BY_NUM exchange
+    on (block_key, salt): without it, AQE partition coalescing — which
+    reads map-output bytes and never sees join fan-out — merges the salt
+    cells back into one task (measured in scripts/skew_bench.py: the 8
+    cells of an 8000-member hot key collapsed into one 64M-row straggler,
+    max_task_share 0.996).  The hot path's input bytes are small at ANY
+    corpus scale (hot keys few, members capped), so the advisory-size
+    heuristic always wants to merge it; the explicit repartition-by-count
+    is the only thing keeping the fan-out stage parallel."""
+    from osm_wikidata_spark.operators.blocking import salted_pair_join
+
+    blocks = spark.createDataFrame(
+        [("k1", "a"), ("k1", "b"), ("k2", "c")],
+        "block_key string, block_id string",
+    )
+    pairs = salted_pair_join(blocks, blocks, salt=8)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
