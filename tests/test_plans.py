@@ -409,3 +409,43 @@ def test_salted_hot_path_parallelism_is_pinned(spark):
     pairs = salted_pair_join(blocks, blocks, salt=8)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_salted_hot_cells_spread_across_tasks(spark):
+    """Behavioural counterpart of the REPARTITION_BY_NUM plan pin: in the
+    shuffle-join regime (auto-broadcast off, as at corpus scale where the
+    index cannot broadcast), no single join task may own the hot key's
+    whole fan-out.  Uses the pre-dedup join (_candidate_pairs_raw) because
+    the pair dedup's even re-shuffle would mask the join tasks."""
+    from pyspark.sql import functions as F
+
+    from osm_wikidata_spark.operators.blocking import _candidate_pairs_raw
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # the key must be genuinely DATA-DEPENDENT: a constant-foldable key
+        # (a literal, or id*0 tricks) folds out of the join's required
+        # distribution, so the join re-partitions on salt alone with a
+        # fresh (coalescible) exchange above the pin — a degenerate shape
+        # real blocking never produces (keys come from tokens).  Two hot
+        # keys of 150 members each (pair products 22500 > threshold).
+        blocks = spark.range(300).select(
+            F.concat(F.lit("hot"), F.pmod(F.col("id"), 2).cast("string")).alias(
+                "block_key"
+            ),
+            F.concat(F.lit("id"), F.col("id")).alias("block_id"),
+        )
+        raw = _candidate_pairs_raw(blocks, blocks, salt=8, hot_threshold=1000)
+        per_task = (
+            raw.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("total"))
+            .first()
+        )
+        assert per_task["total"] == 2 * 150 * 150
+        # 8 salt cells over 8 test shuffle partitions: a collision-free
+        # spread puts ~1/8 per task; assert well under a single-task merge
+        assert per_task["mx"] / per_task["total"] < 0.6, per_task
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
