@@ -14,27 +14,46 @@ Each micro-batch:
 1. builds entities/blocks for the batch's conversations,
 2. joins batch blocks against the persisted block index (old ∪ new),
 3. scores only the new candidate pairs,
-4. commits new blocks + entities as a fresh state GENERATION.
+4. commits the batch as a fresh DELTA generation.
 
-State layout (object-store-safe — no directory renames)::
+State layout (object-store-safe — no directory renames, no file
+mutation)::
 
-    <state_dir>/MANIFEST                tiny pointer file naming the live gen
+    <state_dir>/MANIFEST                ordered chain of live generations,
+                                        one name per line, oldest first
     <state_dir>/gen-000001/blocks       immutable generation directories
     <state_dir>/gen-000001/entities
-    <state_dir>/gen-000001/assignments  (node, component) transitive clusters,
+    <state_dir>/gen-000001/assignments  (node, component) transitive
+                                        clusters — always the FULL map,
                                         maintained by contracted-graph
-                                        incremental CC — O(batch) per commit
+                                        incremental CC (O(batch) work)
 
-A generation directory is written in full, then the manifest is atomically
-replaced to point at it.  On a POSIX filesystem the replace is
-``os.replace`` (atomic rename of a FILE); on an object store the
-equivalent is a single-object PUT, which is atomic on S3/GCS — unlike the
-directory-rename dance this replaces, which has no object-store analog.
-Every crash point is safe: an unreferenced generation directory is
-invisible garbage; the manifest always names a fully-written generation.
+**Write O(batch), read merges the chain** (the LSM trade).  A normal
+commit appends a generation whose blocks/entities files hold ONLY the
+batch's rows and extends the manifest chain — measured before this
+layout, rewriting the full merged state every commit made a 1000-conv
+batch into a 19000-conv corpus cost only 1.54x cheaper than full
+recompute (scripts/incremental_bench.py; BENCH.md), and at 10^12 turns
+an O(corpus) write per micro-batch is the pipeline's death.  Readers
+union the chain's files: blocks tolerate duplicate rows (pair output is
+orientation-deduped and block counts use count_distinct), entities
+merge per conversation (:func:`_merge_entity_rows` — exact because
+every entity column is per-name-derived).  Every ``compact_every``
+commits the chain is COMPACTED: one generation with the fully merged
+state replaces it, bounding read fan-in; that is the amortised
+O(corpus) write.  ``assignments`` stays a full (narrow, two-column)
+table per commit so resume and the next batch read one file.
+
+A generation directory is written in full, then the manifest is
+atomically replaced (tmp file + ``os.replace``; an object store does a
+single PUT, atomic on S3/GCS).  Every crash point is safe: an
+unreferenced generation directory is invisible garbage (never re-used —
+numbering always advances past it); the manifest always names
+fully-written generations.
 
 Checkpointing is Spark's own streaming checkpoint (exactly-once per batch
-given deterministic transforms).
+given deterministic transforms); a retried identical micro-batch appends
+a duplicate delta whose rows the read-side dedup/merge absorbs.
 """
 
 from __future__ import annotations
@@ -57,47 +76,77 @@ _MANIFEST = "MANIFEST"
 _GEN_RE = re.compile(r"^gen-(\d{6})$")
 
 
-def current_generation(state_dir: str) -> str | None:
-    """Name of the live generation (``gen-NNNNNN``) or None if no state."""
+def _chain(state_dir: str) -> list[str]:
+    """Ordered list of live generation names (oldest first); [] if none.
+
+    A legacy single-line manifest reads as a chain of one (its generation
+    held the full state, i.e. a base — exactly what a chain of one means).
+    """
     manifest = os.path.join(state_dir, _MANIFEST)
     if not os.path.exists(manifest):
-        return None
+        return []
     with open(manifest, "r", encoding="ascii") as fh:
-        gen = fh.read().strip()
-    return gen or None
+        return [line.strip() for line in fh if line.strip()]
 
 
-def state_paths(state_dir: str) -> tuple[str, str] | None:
-    """(blocks_path, entities_path) of the live generation, or None.
+def current_generation(state_dir: str) -> str | None:
+    """Name of the NEWEST live generation (``gen-NNNNNN``) or None."""
+    chain = _chain(state_dir)
+    return chain[-1] if chain else None
+
+
+def state_paths(state_dir: str) -> tuple[list[str], list[str]] | None:
+    """(blocks_paths, entities_paths) of the live chain, oldest first, or
+    None if no state.
 
     Falls back to the pre-manifest flat layout (``<state_dir>/blocks`` +
-    ``<state_dir>/entities``, written by the directory-rename
-    implementation this replaced) so an upgrade does not silently rebuild
-    from empty; the first post-upgrade commit writes a real generation and
-    GCs the legacy dirs.
+    ``<state_dir>/entities``, written by the full-rewrite implementation
+    this replaced) so an upgrade does not silently rebuild from empty;
+    the first post-upgrade commit writes a real generation and GCs the
+    legacy dirs.
     """
-    gen = current_generation(state_dir)
-    if gen is None:
+    chain = _chain(state_dir)
+    if not chain:
         legacy_blocks = os.path.join(state_dir, "blocks")
         legacy_entities = os.path.join(state_dir, "entities")
         if os.path.exists(os.path.join(legacy_blocks, "_SUCCESS")):
-            return legacy_blocks, legacy_entities
+            return [legacy_blocks], [legacy_entities]
         return None
-    gen_dir = os.path.join(state_dir, gen)
-    return os.path.join(gen_dir, "blocks"), os.path.join(gen_dir, "entities")
+    return (
+        [os.path.join(state_dir, g, "blocks") for g in chain],
+        [os.path.join(state_dir, g, "entities") for g in chain],
+    )
 
 
 def assignments_path(state_dir: str) -> str | None:
-    """Path of the live generation's ``(node, component)`` assignment
-    table, or None if the live generation predates component maintenance
-    (upgrade note: backfill once with ``connected_components`` over the
+    """Path of the newest generation's full ``(node, component)``
+    assignment table, or None if no live generation carries one (upgrade
+    note: backfill once with ``connected_components`` over the
     accumulated edges_dir, or accept that clusters restart from the next
     batch)."""
-    gen = current_generation(state_dir)
-    if gen is None:
+    for gen in reversed(_chain(state_dir)):
+        path = os.path.join(state_dir, gen, "assignments")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return path
+    return None
+
+
+def read_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """(blocks, entities) of the live state, read-side merged: blocks
+    deduplicated on (block_id, block_key), entities set-union merged per
+    conversation.  The consumer-facing view of a delta chain — also what
+    compaction writes."""
+    live = state_paths(state_dir)
+    if live is None:
         return None
-    path = os.path.join(state_dir, gen, "assignments")
-    return path if os.path.exists(os.path.join(path, "_SUCCESS")) else None
+    blocks_paths, entities_paths = live
+    blocks = spark.read.parquet(*blocks_paths).dropDuplicates(
+        ["block_id", "block_key"]
+    )
+    entities = _merge_entity_rows(spark.read.parquet(*entities_paths))
+    return blocks, entities
 
 
 def _next_generation(state_dir: str) -> str:
@@ -112,25 +161,32 @@ def _next_generation(state_dir: str) -> str:
     return f"gen-{highest + 1:06d}"
 
 
-def _commit_generation(state_dir: str, gen: str, keep: int = 2) -> None:
-    """Atomically repoint the manifest at ``gen``, then GC old generations.
+def _commit_generation(
+    state_dir: str, chain: list[str], keep: int = 2
+) -> None:
+    """Atomically repoint the manifest at ``chain``, then GC dead
+    generations.
 
     The write is tmp-file + ``os.replace`` (atomic on POSIX); an
     object-store port does a single PUT of the manifest object instead.
-    The last ``keep`` generations are retained so lazy plans referencing
-    the previous generation's files keep working across one commit.
+    Chain members stay live by definition; a generation that just LEFT
+    the chain (compaction) or never entered it (crashed commit) is
+    deleted once its number falls ``keep`` commits behind, so lazy plans
+    referencing the previous manifest's files keep working across one
+    commit.
     """
     manifest = os.path.join(state_dir, _MANIFEST)
     tmp = manifest + ".tmp"
     with open(tmp, "w", encoding="ascii") as fh:
-        fh.write(gen + "\n")
+        fh.write("\n".join(chain) + "\n")
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, manifest)
-    current = int(_GEN_RE.match(gen).group(1))
+    newest = max(int(_GEN_RE.match(g).group(1)) for g in chain)
+    live = set(chain)
     for name in os.listdir(state_dir):
         m = _GEN_RE.match(name)
-        if m and int(m.group(1)) <= current - keep:
+        if m and name not in live and int(m.group(1)) <= newest - keep:
             shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
     # pre-manifest flat layout, adopted read-only by state_paths(): once a
     # real generation is committed its contents are folded in — GC it
@@ -144,16 +200,16 @@ def _merge_entity_rows(entities: DataFrame) -> DataFrame:
     """Set-union merge of per-conversation entity rows.
 
     A conversation whose turns span micro-batches has one PARTIAL entity
-    row per batch; keeping an arbitrary one (the old
-    ``dropDuplicates(["conv_id"])``) silently lost mentions, making
-    match decisions depend on union order.  The merge is EXACT because
-    every entity column is derived per NAME (token/full-name/acronym
-    keys, ending rules) or is itself a set/flag — the union of the
-    partial rows' arrays equals a fresh ``extract_entities`` over the
-    full conversation, and the decision context treats endings /
-    place_names as order-insensitive sets (``score_pairs`` sorts them
-    into the ctx fingerprint).  Idempotent, so a retried identical
-    micro-batch still collapses to the same row.
+    row per batch (and, under the delta layout, one per generation file);
+    keeping an arbitrary one would silently lose mentions, making match
+    decisions depend on union order.  The merge is EXACT because every
+    entity column is derived per NAME (token/full-name/acronym keys,
+    ending rules) or is itself a set/flag — the union of the partial
+    rows' arrays equals a fresh ``extract_entities`` over the full
+    conversation, and the decision context treats endings / place_names
+    as order-insensitive sets (``score_pairs`` sorts them into the ctx
+    fingerprint).  Idempotent, so a retried identical micro-batch still
+    collapses to the same row.
     """
     return entities.groupBy("conv_id").agg(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("names")))).alias(
@@ -174,8 +230,18 @@ def incremental_edges_batch(
     state_dir: str,
     max_block_size: int | None = 1000,
     salt: int = 8,
+    compact_every: int = 8,
 ) -> DataFrame:
-    """Process one micro-batch: return new edges, commit a new state gen."""
+    """Process one micro-batch: return new edges, commit a delta
+    generation (a compacted base every ``compact_every`` commits).
+
+    Per-batch cost: the only O(corpus) work is READ-side — the global
+    block-count scan for the hot-key re-cap and the assignment-table
+    relabel join — plus the amortised compaction write.  Everything
+    written per commit is batch-sized except ``assignments`` (narrow,
+    two columns).  The former layout rewrote full blocks+entities every
+    commit; see the module docstring for the measured cost.
+    """
     new_entities = extract_entities(batch_transcripts)
     # state keeps the UNCAPPED index: a key hot within one batch must still
     # contribute its full membership to the global counts, or the global
@@ -185,22 +251,18 @@ def incremental_edges_batch(
 
     live = state_paths(state_dir)
     if live is not None:
-        blocks_path, entities_path = live
-        old_blocks = spark.read.parquet(blocks_path)
-        old_entities = spark.read.parquet(entities_path)
-        # dedupe blocks on identity: a retried micro-batch re-unions its
-        # rows, and duplicate block rows would double-count pairs downstream
-        all_blocks = old_blocks.unionByName(new_blocks).dropDuplicates(
-            ["block_id", "block_key"]
-        )
-        # entities MERGE per conversation (same one-shuffle cost as the
-        # dropDuplicates this replaces) — see _merge_entity_rows
-        all_entities = _merge_entity_rows(
-            old_entities.unionByName(new_entities)
+        blocks_paths, entities_paths = live
+        # raw unions — no eager dedup/merge shuffle over the corpus here:
+        # block duplicates (a retried batch's re-appended delta) are
+        # absorbed by count_distinct sizing + the final pair dedup, and
+        # entities are merged AFTER pruning to the ids a consumer needs
+        all_blocks = spark.read.parquet(*blocks_paths).unionByName(new_blocks)
+        all_entities_raw = spark.read.parquet(*entities_paths).unionByName(
+            new_entities
         )
     else:
         all_blocks = new_blocks
-        all_entities = new_entities
+        all_entities_raw = new_entities
 
     # probe with EVERY key of every conversation touched by this batch,
     # not just the batch's own partial keys: a conversation whose turns
@@ -214,10 +276,13 @@ def incremental_edges_batch(
     )
     probe_source = all_blocks.join(touched, "block_id", "left_semi")
 
-    # hot-key cap against GLOBAL counts: a key under the cap within every
+    # hot-key cap against GLOBAL counts (count_distinct: delta files may
+    # carry duplicate membership rows): a key under the cap within every
     # single batch can still accumulate into a mega-block across batches
     if max_block_size is not None:
-        sizes = all_blocks.groupBy("block_key").agg(F.count("*").alias("n"))
+        sizes = all_blocks.groupBy("block_key").agg(
+            F.count_distinct("block_id").alias("n")
+        )
         hot = F.broadcast(
             sizes.filter(F.col("n") > max_block_size).select("block_key")
         )
@@ -235,18 +300,62 @@ def incremental_edges_batch(
         F.greatest("left_id", "right_id").alias("right_id"),
         "block_key",
     ).dropDuplicates(["left_id", "right_id"])
+    # cut the plan HERE: everything below references `pairs` repeatedly
+    # (endpoints unions it twice, score_pairs joins entities on both
+    # sides), so an un-cut lazy subtree — itself holding the salted join,
+    # two hot-cap anti-joins, and the chain read — would be cloned into
+    # the scoring plan combinatorially, and AQE's per-stage re-optimize
+    # walks that whole tree: measured as a driver-side planning livelock
+    # (one core pegged >12 min on a 60-conversation test) before this
+    # checkpoint.  The frame is batch-fan-out-sized, so materialising it
+    # is the cheap side of the trade at any scale.
+    pairs = pairs.localCheckpoint(eager=True)
 
-    # materialise edges BEFORE the commit: generation GC (keep=2) protects
-    # one commit's worth of lazy reads, but eager is simpler to reason about
-    edges = score_pairs(pairs, all_entities).localCheckpoint(eager=True)
+    # entity merge pruned to the ids scoring will touch (batch convs +
+    # their pair partners — batch-fan-out-sized, NOT the corpus); the
+    # merge is per-conversation local, so pruning first is exact
+    endpoints = (
+        pairs.select(F.col("left_id").alias("conv_id"))
+        .unionByName(pairs.select(F.col("right_id").alias("conv_id")))
+        .distinct()
+    )
+    scored_entities = _merge_entity_rows(
+        all_entities_raw.join(endpoints, "conv_id", "left_semi")
+    )
 
+    # materialise edges BEFORE the commit: generation GC protects one
+    # commit's worth of lazy reads, but eager is simpler to reason about
+    edges = score_pairs(pairs, scored_entities).localCheckpoint(eager=True)
+
+    chain = _chain(state_dir)
     gen = _next_generation(state_dir)
     gen_dir = os.path.join(state_dir, gen)
-    all_blocks.write.mode("overwrite").parquet(os.path.join(gen_dir, "blocks"))
-    all_entities.write.mode("overwrite").parquet(os.path.join(gen_dir, "entities"))
+    # compact when the chain would exceed its bound — and ALWAYS when
+    # upgrading from the legacy flat layout (its dirs are GC'd on commit,
+    # so the first real generation must fold them in, not delta past them)
+    legacy_upgrade = live is not None and not chain
+    compact = legacy_upgrade or len(chain) + 1 > compact_every
+    if compact:
+        # amortised O(corpus) write: fold the whole chain + this batch
+        # into one base generation
+        all_blocks.dropDuplicates(["block_id", "block_key"]).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(gen_dir, "blocks"))
+        _merge_entity_rows(all_entities_raw).write.mode("overwrite").parquet(
+            os.path.join(gen_dir, "entities")
+        )
+        new_chain = [gen]
+    else:
+        # O(batch) write: this batch's rows only
+        new_blocks.write.mode("overwrite").parquet(os.path.join(gen_dir, "blocks"))
+        new_entities.write.mode("overwrite").parquet(
+            os.path.join(gen_dir, "entities")
+        )
+        new_chain = chain + [gen]
+
     # transitive clusters ride the same generation: contracted-graph
-    # incremental CC over this batch's accepted edges — O(batch) work, no
-    # full-graph recompute (operators/components.py incremental_components)
+    # incremental CC over this batch's accepted edges — O(batch) work plus
+    # the one-join relabel of the (narrow) full assignment table
     prev_path = assignments_path(state_dir)
     prev = (
         spark.read.parquet(prev_path)
@@ -256,7 +365,7 @@ def incremental_edges_batch(
     incremental_components(prev, edges.filter(F.col("matched"))).write.mode(
         "overwrite"
     ).parquet(os.path.join(gen_dir, "assignments"))
-    _commit_generation(state_dir, gen)
+    _commit_generation(state_dir, new_chain)
     return edges
 
 

@@ -25,9 +25,14 @@ That divergence is inherent to any monotone streaming cap and is the
 documented contract, mirrored by `incremental_edges_batch`'s global
 re-cap of accumulated blocks.
 
-State rides the same object-store-safe manifest-pointer generation layout
-as incremental.py: ``gen-NNNNNN/band_keys`` (doc, band, bucket — linear
-in corpus size) and ``gen-NNNNNN/assignments`` (node, component).
+State rides the same object-store-safe manifest CHAIN layout as
+incremental.py — write O(batch), read merges the chain: a normal commit
+appends a generation whose ``band_keys`` hold ONLY the batch's rows;
+readers union the chain (duplicate rows from a replayed batch are
+absorbed by count_distinct bucket sizing and the final pair groupBy);
+every ``compact_every`` commits the chain folds into one deduplicated
+base generation (the amortised O(corpus) write).  ``assignments``
+(node, component) stays a full narrow table per commit.
 """
 
 from __future__ import annotations
@@ -38,17 +43,30 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.components import incremental_components
 from ..operators.dedup import minhash_band_keys
-from .incremental import _commit_generation, _next_generation, current_generation
+from .incremental import _chain, _commit_generation, _next_generation
 
 DOCUMENT_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
 
 def _live_path(state_dir: str, name: str) -> str | None:
-    gen = current_generation(state_dir)
-    if gen is None:
-        return None
-    path = os.path.join(state_dir, gen, name)
-    return path if os.path.exists(os.path.join(path, "_SUCCESS")) else None
+    """Newest chain generation carrying a complete ``name`` table (the
+    full-table-per-commit pattern: assignments)."""
+    for gen in reversed(_chain(state_dir)):
+        path = os.path.join(state_dir, gen, name)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return path
+    return None
+
+
+def _chain_paths(state_dir: str, name: str) -> list[str]:
+    """Every chain generation's ``name`` table, oldest first (the
+    delta-per-commit pattern: band_keys)."""
+    return [
+        path
+        for gen in _chain(state_dir)
+        for path in [os.path.join(state_dir, gen, name)]
+        if os.path.exists(os.path.join(path, "_SUCCESS"))
+    ]
 
 
 def incremental_neardup_batch(
@@ -61,29 +79,32 @@ def incremental_neardup_batch(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int | None = 50,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Process one micro-batch of documents: return the batch's new
-    candidate pairs ``(left_id, right_id, band)`` and commit a new state
-    generation (accumulated band keys + updated cluster assignment)."""
+    candidate pairs ``(left_id, right_id, band)`` and commit a delta
+    generation (batch band keys + updated full cluster assignment; a
+    compacted base every ``compact_every`` commits)."""
     new_keys = minhash_band_keys(
         batch_docs, id_col, text_col, n_hashes, bands, shingle_n
     )
 
-    live = _live_path(state_dir, "band_keys")
-    if live is not None:
-        old_keys = spark.read.parquet(live)
-        # retry-safe: a replayed micro-batch re-unions identical rows
-        all_keys = old_keys.unionByName(new_keys).dropDuplicates(
-            ["doc", "band", "bucket"]
-        )
+    live = _chain_paths(state_dir, "band_keys")
+    if live:
+        # raw union — no eager corpus-wide dedup: duplicate rows (a
+        # replayed micro-batch's re-appended delta) are absorbed by the
+        # count_distinct sizing below and the final pair groupBy
+        all_keys = spark.read.parquet(*live).unionByName(new_keys)
     else:
-        all_keys = new_keys.dropDuplicates(["doc", "band", "bucket"])
+        all_keys = new_keys
 
     # progressive cap against GLOBAL bucket sizes (see module docstring);
     # the hot list is small by construction -> broadcast anti-join, the
     # same shape incremental_edges_batch uses for hot blocks
     if max_bucket is not None:
-        sizes = all_keys.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+        sizes = all_keys.groupBy("band", "bucket").agg(
+            F.count_distinct("doc").alias("n")
+        )
         hot = F.broadcast(
             sizes.filter(F.col("n") > max_bucket).select("band", "bucket")
         )
@@ -111,9 +132,20 @@ def incremental_neardup_batch(
     # are in `build`), so min(band) matches the full batch recompute.
     pairs = pairs.localCheckpoint(eager=True)
 
+    chain = _chain(state_dir)
     gen = _next_generation(state_dir)
     gen_dir = os.path.join(state_dir, gen)
-    all_keys.write.mode("overwrite").parquet(os.path.join(gen_dir, "band_keys"))
+    if len(chain) + 1 > compact_every:
+        # amortised O(corpus) write: fold the chain + this batch into one
+        # deduplicated base generation
+        all_keys.dropDuplicates(["doc", "band", "bucket"]).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(gen_dir, "band_keys"))
+        new_chain = [gen]
+    else:
+        # O(batch) write: this batch's keys only
+        new_keys.write.mode("overwrite").parquet(os.path.join(gen_dir, "band_keys"))
+        new_chain = chain + [gen]
 
     prev_path = _live_path(state_dir, "assignments")
     prev = (
@@ -124,7 +156,7 @@ def incremental_neardup_batch(
     incremental_components(prev, pairs).write.mode("overwrite").parquet(
         os.path.join(gen_dir, "assignments")
     )
-    _commit_generation(state_dir, gen)
+    _commit_generation(state_dir, new_chain)
     return pairs
 
 

@@ -190,8 +190,8 @@ def test_uncommitted_generation_recovery(spark, tmp_path):
     os.makedirs(state, exist_ok=True)
     incremental_edges_batch(spark, transcripts, state)
     gen1 = current_generation(state)
-    blocks_path, _ = state_paths(state)
-    assert spark.read.parquet(blocks_path).count() > 0
+    blocks_paths, _ = state_paths(state)
+    assert spark.read.parquet(*blocks_paths).count() > 0
 
     # simulate the crash: a fully-written next generation whose manifest
     # commit never happened (here: a bogus, possibly-partial dir)
@@ -205,7 +205,7 @@ def test_uncommitted_generation_recovery(spark, tmp_path):
     gen2 = current_generation(state)
     assert gen2 not in (gen1, "gen-000009")  # orphan never re-used
     assert int(gen2.split("-")[1]) > 9
-    recovered = spark.read.parquet(state_paths(state)[0])
+    recovered = spark.read.parquet(*state_paths(state)[0])
     # old conversations' blocks survived the crash
     assert recovered.filter(F.col("block_id") < "conv-000020").count() > 0
     shutil.rmtree(orphan, ignore_errors=True)
@@ -226,9 +226,9 @@ def test_legacy_flat_state_migrates(spark, tmp_path):
     os.makedirs(state, exist_ok=True)
     # build real state, then rewrite it in the legacy flat layout
     incremental_edges_batch(spark, transcripts, state)
-    blocks_path, entities_path = state_paths(state)
-    spark.read.parquet(blocks_path).write.parquet(os.path.join(state, "blocks"))
-    spark.read.parquet(entities_path).write.parquet(
+    blocks_paths, entities_paths = state_paths(state)
+    spark.read.parquet(*blocks_paths).write.parquet(os.path.join(state, "blocks"))
+    spark.read.parquet(*entities_paths).write.parquet(
         os.path.join(state, "entities")
     )
     os.remove(os.path.join(state, "MANIFEST"))
@@ -240,23 +240,29 @@ def test_legacy_flat_state_migrates(spark, tmp_path):
 
     # legacy layout is visible without a manifest
     assert current_generation(state) is None
-    assert state_paths(state)[0] == os.path.join(state, "blocks")
+    assert state_paths(state)[0] == [os.path.join(state, "blocks")]
 
     more, _ = synth_transcripts(spark, n_conversations=25, turns_per_conv=2)
     more = more.filter(F.col("conv_id") >= "conv-000020")
     incremental_edges_batch(spark, more, state)
     # old conversations' blocks were folded into the new generation...
-    recovered = spark.read.parquet(state_paths(state)[0])
+    recovered = spark.read.parquet(*state_paths(state)[0])
     assert recovered.filter(F.col("block_id") < "conv-000020").count() > 0
     # ...and the legacy dirs are gone
     assert not os.path.exists(os.path.join(state, "blocks"))
     assert not os.path.exists(os.path.join(state, "entities"))
 
 
-def test_generation_gc_keeps_last_two(spark, tmp_path):
-    """Each commit GCs all but the last two generations (the previous one
-    survives so a lazy plan spanning one commit still resolves)."""
-    from osm_wikidata_spark.streaming.incremental import current_generation
+def test_generation_chain_compaction_and_gc(spark, tmp_path):
+    """Delta-chain lifecycle: commits append batch-sized delta generations
+    to the manifest chain; crossing ``compact_every`` folds the chain into
+    one base generation; generations that left the chain survive one more
+    commit (lazy-plan safety) and the merged read recovers everything."""
+    from osm_wikidata_spark.streaming.incremental import (
+        _chain,
+        current_generation,
+        read_state,
+    )
 
     transcripts, _ = synth_transcripts(spark, n_conversations=30, turns_per_conv=2)
     state = os.path.join(str(tmp_path), "state")
@@ -267,10 +273,18 @@ def test_generation_gc_keeps_last_two(spark, tmp_path):
         batch = transcripts.filter(
             (F.col("conv_id") >= lo) & (F.col("conv_id") < hi)
         )
-        incremental_edges_batch(spark, batch, state)
-    gens = sorted(n for n in os.listdir(state) if n.startswith("gen-"))
-    assert gens == ["gen-000002", "gen-000003"]
+        incremental_edges_batch(spark, batch, state, compact_every=2)
+    # batch 3 crossed compact_every=2: chain is the single base gen-000003
+    assert _chain(state) == ["gen-000003"]
     assert current_generation(state) == "gen-000003"
+    gens = sorted(n for n in os.listdir(state) if n.startswith("gen-"))
+    # gen-000001 (two commits behind) is GC'd; gen-000002 survives one
+    # commit for lazy readers of the previous manifest
+    assert gens == ["gen-000002", "gen-000003"]
+    blocks, entities = read_state(spark, state)
+    # the compacted base holds every batch's conversations
+    assert entities.count() == 30
+    assert blocks.select("block_id").distinct().count() == 30
 
 
 def test_streaming_query_runs(spark, tmp_path):
@@ -371,7 +385,7 @@ def test_incremental_merges_conversations_spanning_batches(spark, tmp_path):
     entity rows MERGED (set union of mentions), not arbitrarily collapsed
     by dropDuplicates — and its old block keys re-probed so pairs are
     (re)scored under the merged mention set."""
-    from osm_wikidata_spark.streaming.incremental import state_paths
+    from osm_wikidata_spark.streaming.incremental import read_state
 
     schema = (
         "conv_id string, turn_idx int, role string, text string,"
@@ -395,10 +409,8 @@ def test_incremental_merges_conversations_spanning_batches(spark, tmp_path):
     incremental_edges_batch(spark, batch1, state)
     edges2 = incremental_edges_batch(spark, batch2, state)
 
-    blocks_path, entities_path = state_paths(state)
-    ents = {
-        r["conv_id"]: r for r in spark.read.parquet(entities_path).collect()
-    }
+    _blocks, entities = read_state(spark, state)
+    ents = {r["conv_id"]: r for r in entities.collect()}
     # merged, deterministic — not whichever partial row won a dropDuplicates
     assert ents["A"]["names"] == ["Alpha Tower", "Beta Hall"]
     assert ents["B"]["names"] == ["Beta Hall"]
