@@ -436,11 +436,14 @@ def _neardup_corpus(spark):
 
 def test_incremental_neardup_equals_full_run(spark, tmp_path):
     """Uncapped: unioned per-batch pairs == batch minhash_lsh_pairs over
-    the whole corpus, and committed assignments == full CC recompute."""
+    the whole corpus, and committed assignments == full CC recompute.
+    Runs with ``compact_every=2`` so the third commit COMPACTS the delta
+    chain mid-test — the fold must not change any answer."""
     import os
 
     from osm_wikidata_spark.operators import dedup
     from osm_wikidata_spark.operators.components import connected_components
+    from osm_wikidata_spark.streaming.incremental import _chain
     from osm_wikidata_spark.streaming.neardup import (
         _live_path,
         incremental_neardup_batch,
@@ -451,8 +454,12 @@ def test_incremental_neardup_equals_full_run(spark, tmp_path):
     folded = set()
     for lo, hi in ((0, 10), (10, 20), (20, 30)):
         batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        got = incremental_neardup_batch(spark, batch, state, max_bucket=None)
+        got = incremental_neardup_batch(
+            spark, batch, state, max_bucket=None, compact_every=2
+        )
         folded |= {(r["left_id"], r["right_id"], r["band"]) for r in got.collect()}
+    # batch 3 crossed compact_every=2: the chain is one compacted base
+    assert _chain(state) == ["gen-000003"]
 
     full_pairs = dedup.minhash_lsh_pairs(docs, max_bucket=None)
     full = {(r["left_id"], r["right_id"], r["band"]) for r in full_pairs.collect()}
