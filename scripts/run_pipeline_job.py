@@ -15,7 +15,12 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=False, help="transcripts parquet path")
+    ap.add_argument("--input", required=False,
+                    help="transcripts table: iceberg:<catalog>.<db>.<table> "
+                         "(cluster, with the Iceberg runtime + "
+                         "sources.catalog.iceberg_configs) or a parquet path")
+    ap.add_argument("--input-snapshot-id", type=int, default=None,
+                    help="Iceberg time travel: read this snapshot of --input")
     ap.add_argument("--run-dir", required=True)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--max-block-size", type=int, default=1000)
@@ -44,7 +49,11 @@ def main() -> None:
     else:
         if not args.input:
             raise SystemExit("--input or --synth-convs required")
-        transcripts = spark.read.parquet(args.input)
+        from osm_wikidata_spark.sources.catalog import read_table
+
+        transcripts = read_table(
+            spark, args.input, snapshot_id=args.input_snapshot_id
+        )
 
     import json
 

@@ -132,3 +132,53 @@ def test_extracts_dir(spark, tmp_path):
         for r in extract_bold_names(read_extracts_dir(spark, d)).collect()
     )
     assert rows == [("T0", "T0"), ("T1", "T1"), ("T2", "T2")]
+
+
+# ---------------------------------------------------------------------------
+# sources/catalog.py: table-reference resolution (Iceberg gated, parquet
+# fallback — SURVEY.md risk register "Iceberg in sandbox")
+
+
+def test_catalog_parquet_roundtrip(spark, tmp_path):
+    from osm_wikidata_spark.sources.catalog import read_table, write_table
+
+    path = os.path.join(str(tmp_path), "tbl")
+    df = spark.range(10).withColumnRenamed("id", "n")
+    write_table(df, path, mode="overwrite")
+    assert read_table(spark, path).count() == 10
+    write_table(df, path, mode="append")
+    assert read_table(spark, path).count() == 20
+
+
+def test_catalog_parquet_partitioned_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from osm_wikidata_spark.sources.catalog import read_table, write_table
+
+    path = os.path.join(str(tmp_path), "part_tbl")
+    df = spark.range(8).select("id", (F.col("id") % 2).alias("p"))
+    write_table(df, path, mode="overwrite", partition_by=["p"])
+    assert os.path.isdir(os.path.join(path, "p=0"))
+    assert read_table(spark, path).count() == 8
+
+
+def test_catalog_iceberg_gated_in_sandbox(spark, tmp_path):
+    """No Iceberg jar here: the probe reports it, an iceberg: ref raises
+    a descriptive error instead of an opaque ClassNotFound, and time
+    travel on a parquet path is rejected."""
+    import pytest
+
+    from osm_wikidata_spark.sources.catalog import (
+        iceberg_available,
+        iceberg_configs,
+        read_table,
+    )
+
+    assert iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="Iceberg runtime jar"):
+        read_table(spark, "iceberg:local.db.transcripts")
+    with pytest.raises(ValueError, match="time travel"):
+        read_table(spark, str(tmp_path), snapshot_id=123)
+    confs = iceberg_configs(catalog="c1", warehouse="/w")
+    assert confs["spark.sql.catalog.c1"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert confs["spark.sql.catalog.c1.warehouse"] == "/w"
