@@ -291,6 +291,18 @@ def incremental_edges_batch(
     else:
         probe_blocks, build_blocks_side = probe_source, all_blocks
 
+    # NEGATIVE RESULT (measured, kept for the record): pre-pruning the
+    # corpus side to the probe's distinct block_keys via a broadcast semi
+    # join benched SLOWER (incremental leg 20.5 -> 26.5 s,
+    # scripts/incremental_bench.py) and the executed plan shows why — at
+    # the micro-batch design point every join here is already a
+    # BroadcastHashJoin (the optimizer broadcasts the batch-sized side),
+    # so the corpus side is scanned but NEVER shuffled and the prune only
+    # adds an extra corpus scan + a broadcast barrier.  A key-prune would
+    # start paying off only for batches too large for the probe side to
+    # broadcast (the join degrades to sort-merge and the corpus would
+    # shuffle) — if batches ever grow to that size, reintroduce it there.
+
     # candidate pairs touching at least one NEW conversation
     pairs = salted_pair_join(probe_blocks, build_blocks_side, salt=salt).filter(
         F.col("left_id") != F.col("right_id")

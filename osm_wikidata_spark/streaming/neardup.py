@@ -113,6 +113,10 @@ def incremental_neardup_batch(
     else:
         probe, build = new_keys, all_keys
 
+    # (no corpus-side bucket pre-prune here: same measured negative
+    # result as incremental_edges_batch — the probe side broadcasts, so
+    # the corpus side never shuffles and a prune only adds a scan)
+
     pairs = (
         probe.select(F.col("doc").alias("p"), "band", "bucket")
         .join(build.select(F.col("doc").alias("b"), "band", "bucket"), ["band", "bucket"])
