@@ -18,20 +18,22 @@ padding, no doc-boundary alignment).  Deterministic: a pure function of
 (group, order, token counts), independent of partitioning or cluster
 size, hence exactly reproducible in the SQL oracle.
 
-Scale shape: one window aggregation per ``group_col`` partition.  The
-running sum is inherently sequential WITHIN a group, so the group column
-is the parallelism knob: ``None`` packs one global stream (a single
-window partition — fine up to ~10^8 rows on one beefy executor, a
-documented bottleneck beyond), while any bounded-cardinality column
-(source, shard id, ``pmod(hash(id), k)``) packs k independent streams in
-parallel, which is what real pipelines do (per-shard packing; sequence
-ids are disjoint across shards by construction when composed with the
-group key).
+Scale shape.  With a ``group_col``, one window aggregation per group
+partition — k independent streams in parallel.  With ``group_col=None``
+(one GLOBAL stream) the naive plan is a single unpartitioned running-sum
+window that funnels the whole input through one task; instead the global
+path runs the classic TWO-PASS distributed prefix sum (Blelloch scan
+shape): range-partition on the order key so partitions hold contiguous
+stream segments, compute each partition's exclusive running sum locally
+(n-way parallel window on the partition id), then add each partition's
+exclusive prefix offset — a ≤-num-partitions-row frame, windowed
+trivially and broadcast back.  Values are identical to the single-window
+plan (pinned by test) and independent of the partition count: the
+exclusive cumulative sum over a total order decomposes exactly across
+any contiguous segmentation.
 """
 
 from __future__ import annotations
-
-import warnings
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -53,38 +55,77 @@ def pack_sequences(
     total-ordered and the result deterministic.  Zero-token documents
     occupy no stream space (their start equals the next doc's).
 
-    ``group_col=None`` packs ONE global stream — a single unpartitioned
-    running-sum window that funnels the whole input through one task (the
-    documented bottleneck above; fine for exploration, wrong at corpus
-    scale).  It warns unless ``single_stream_ok=True``; pass a
-    bounded-cardinality ``group_col`` (source, shard id,
-    ``pmod(hash(id), k)``) to pack k independent streams in parallel.
+    ``group_col=None`` packs ONE global stream via the distributed
+    two-pass prefix sum described in the module docstring — no single
+    funnel task, safe at corpus scale.  ``single_stream_ok`` is retained
+    for API compatibility from when the global path was a single
+    unpartitioned window and warned; it is now a no-op.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    if group_col is None and not single_stream_ok:
-        warnings.warn(
-            "pack_sequences(group_col=None) packs one GLOBAL stream through "
-            "a single unpartitioned window — the whole input funnels into "
-            "one task. Pass group_col (source / shard / pmod(hash(id), k)) "
-            "to pack independent streams in parallel, or "
-            "single_stream_ok=True to silence this.",
-            stacklevel=2,
-        )
     order = order_col or id_col
-    part = Window.partitionBy(*( [group_col] if group_col else [] ))
-    w = (
-        part.orderBy(F.col(order), F.col(id_col))
+
+    if group_col is not None:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col(order), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        start = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("long"))
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col),
+            F.col(token_col).alias("n_tokens"),
+            start.alias("start_offset"),
+            F.floor(start / budget).cast("long").alias("seq_id"),
+            (start % budget).cast("long").alias("seq_offset"),
+        )
+
+    # global stream: two-pass distributed prefix sum.
+    try:
+        n_parts = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):  # e.g. "auto" under some vendors
+        n_parts = 200
+    # contiguous stream segments in partition-id order (RangePartitioner
+    # assigns ascending key ranges to ascending partition ids; an
+    # explicit partition count is a REPARTITION_BY_NUM shuffle, which AQE
+    # never coalesces).  Both consumers below hang off this one subtree,
+    # so the exchange is computed once and reused (ReusedExchange).
+    ranged = docs.repartitionByRange(
+        n_parts, F.col(order), F.col(id_col)
+    ).withColumn("_pack_pid", F.spark_partition_id())
+    # pass 1: exclusive running sum WITHIN each segment — n-way parallel
+    w_in = (
+        Window.partitionBy("_pack_pid")
+        .orderBy(F.col(order), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    start = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("long"))
-    cols = [F.col(id_col).alias("doc_id")]
-    if group_col:
-        cols.append(F.col(group_col))
-    return docs.select(
-        *cols,
+    local = ranged.withColumn(
+        "_local_start",
+        F.coalesce(F.sum(token_col).over(w_in), F.lit(0).cast("long")),
+    )
+    # pass 2: each segment's exclusive prefix offset — a ≤ n_parts-row
+    # frame; its unpartitioned window is trivially cheap at any scale
+    totals = ranged.groupBy("_pack_pid").agg(
+        F.sum(token_col).cast("long").alias("_part_total")
+    )
+    w_tot = Window.orderBy("_pack_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pack_pid",
+        F.coalesce(F.sum("_part_total").over(w_tot), F.lit(0).cast("long")).alias(
+            "_part_offset"
+        ),
+    )
+    joined = local.join(F.broadcast(offsets), "_pack_pid")
+    start = F.col("_local_start") + F.col("_part_offset")
+    return joined.select(
+        F.col(id_col).alias("doc_id"),
         F.col(token_col).alias("n_tokens"),
-        start.alias("start_offset"),
+        start.cast("long").alias("start_offset"),
         F.floor(start / budget).cast("long").alias("seq_id"),
         (start % budget).cast("long").alias("seq_offset"),
     )

@@ -1013,10 +1013,12 @@ def test_pack_sequences_global_and_edges(spark):
     docs = spark.createDataFrame(
         [(1, 100), (2, 0), (3, 30)], "doc_id bigint, n_tokens int"
     )
-    # group_col=None is the documented single-window bottleneck: it must
-    # warn loudly unless explicitly waived
-    with _pytest.warns(UserWarning, match="GLOBAL stream"):
+    # group_col=None packs one global stream via the distributed two-pass
+    # prefix sum — no warning (and single_stream_ok stays accepted)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         packed = packing.pack_sequences(docs, 64)
+        packing.pack_sequences(docs, 64, single_stream_ok=True)
     got = {
         r["doc_id"]: (r["start_offset"], r["seq_id"], r["seq_offset"])
         for r in packed.collect()
@@ -1025,11 +1027,49 @@ def test_pack_sequences_global_and_edges(spark):
     assert got[1] == (0, 0, 0)
     assert got[2] == (100, 1, 36)
     assert got[3] == (100, 1, 36)
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")  # opt-in silences the warning
-        packing.pack_sequences(docs, 64, single_stream_ok=True)
     with _pytest.raises(ValueError):
-        packing.pack_sequences(docs, 0, single_stream_ok=True)
+        packing.pack_sequences(docs, 0)
+
+
+def test_pack_sequences_global_is_distributed_and_exact(spark):
+    """The global stream path must (a) range-partition the input — the
+    scale marker that no single unpartitioned window sees the full input
+    — and (b) produce exactly the single-window answer (simulated with a
+    constant group column)."""
+    from osm_wikidata_spark.operators import packing
+
+    docs = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 90).alias("n_tokens"),  # includes zeros
+    )
+    global_packed = packing.pack_sequences(docs, 256)
+    plan = global_packed._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+    single = packing.pack_sequences(
+        docs.withColumn("g", F.lit("all")), 256, group_col="g"
+    )
+    a = {
+        (r["doc_id"], r["start_offset"], r["seq_id"], r["seq_offset"])
+        for r in global_packed.collect()
+    }
+    b = {
+        (r["doc_id"], r["start_offset"], r["seq_id"], r["seq_offset"])
+        for r in single.collect()
+    }
+    assert a == b
+    # partition-count independence: same values under a different
+    # shuffle-partition setting
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        c = {
+            (r["doc_id"], r["start_offset"], r["seq_id"], r["seq_offset"])
+            for r in packing.pack_sequences(docs, 256).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == c
 
 
 def test_pack_sequences_partitioning_invariant(spark):
