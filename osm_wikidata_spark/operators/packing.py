@@ -91,11 +91,24 @@ def pack_sequences(
     # contiguous stream segments in partition-id order (RangePartitioner
     # assigns ascending key ranges to ascending partition ids; an
     # explicit partition count is a REPARTITION_BY_NUM shuffle, which AQE
-    # never coalesces).  Both consumers below hang off this one subtree,
-    # so the exchange is computed once and reused (ReusedExchange).
-    ranged = docs.repartitionByRange(
-        n_parts, F.col(order), F.col(id_col)
-    ).withColumn("_pack_pid", F.spark_partition_id())
+    # never coalesces).  The eager localCheckpoint is LOAD-BEARING for
+    # correctness, not an optimisation: pass 1 and pass 2 both consume
+    # this frame, and without the materialisation each branch plans its
+    # OWN range exchange (observed in the executed plan — two
+    # rangepartitioning nodes, no ReusedExchange) whose RangePartitioner
+    # re-samples boundaries with an RDD-id-derived seed, so a row's
+    # _pack_pid could differ between the branches and corrupt offsets
+    # silently on skewed data.  Checkpointing pins one physical
+    # partitioning that both branches read; the frame is a narrow
+    # (order, id, tokens, pid) projection, so the materialisation is the
+    # cheap side of the trade at any scale.
+    needed = list(dict.fromkeys([order, id_col, token_col]))
+    ranged = (
+        docs.select(*needed)
+        .repartitionByRange(n_parts, F.col(order), F.col(id_col))
+        .withColumn("_pack_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     # pass 1: exclusive running sum WITHIN each segment — n-way parallel
     w_in = (
         Window.partitionBy("_pack_pid")

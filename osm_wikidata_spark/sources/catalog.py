@@ -55,9 +55,21 @@ def iceberg_configs(
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when the Iceberg runtime jar is on the session's classpath."""
+    """True when the Iceberg runtime jar is loadable in the session JVM.
+
+    Probes through Spark's own class-loading check first
+    (``Utils.classIsLoadable``, which consults the context/Spark
+    classloader — jars added via ``--packages``/``spark.jars`` land in
+    Spark's mutable child classloader, invisible to a bare system
+    ``Class.forName``), falling back to ``Class.forName`` if that
+    internal utility ever moves."""
+    jvm = spark._jvm  # noqa: SLF001
     try:
-        spark._jvm.java.lang.Class.forName(_PROBE_CLASS)  # noqa: SLF001
+        return bool(jvm.org.apache.spark.util.Utils.classIsLoadable(_PROBE_CLASS))
+    except Exception:
+        pass
+    try:
+        jvm.java.lang.Class.forName(_PROBE_CLASS)
         return True
     except Exception:
         return False
@@ -67,10 +79,11 @@ def _require_iceberg(spark: SparkSession, ref: str) -> str:
     if not iceberg_available(spark):
         raise RuntimeError(
             f"table ref {ref!r} needs the Iceberg runtime jar "
-            f"({_PROBE_CLASS} not on the classpath); launch with "
-            "--packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12 "
-            "and the iceberg_configs() session configs, or pass a parquet "
-            "path instead (documented sandbox fallback)"
+            f"({_PROBE_CLASS} is not loadable); launch with --packages "
+            "org.apache.iceberg:iceberg-spark-runtime-<sparkver>_<scalaver>:"
+            "<icebergver> matching your Spark/Scala build, plus the "
+            "iceberg_configs() session configs — or pass a parquet path "
+            "instead (documented sandbox fallback)"
         )
     return ref[len(ICEBERG_REF_PREFIX) :]
 

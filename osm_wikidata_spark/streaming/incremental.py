@@ -169,13 +169,20 @@ def _commit_generation(
 
     The write is tmp-file + ``os.replace`` (atomic on POSIX); an
     object-store port does a single PUT of the manifest object instead.
-    Chain members stay live by definition; a generation that just LEFT
-    the chain (compaction) or never entered it (crashed commit) is
-    deleted once its number falls ``keep`` commits behind, so lazy plans
-    referencing the previous manifest's files keep working across one
-    commit.
+    GC grace: a generation is deleted only when it is neither in the NEW
+    chain nor in the chain the manifest named ON ENTRY — i.e. everything
+    the previous manifest referenced survives exactly one more commit,
+    so a reader that loaded the previous manifest keeps a full commit's
+    worth of time to finish its lazy reads.  This matters most at
+    compaction, which retires the whole delta chain at once: the retired
+    generations are all protected this commit and collected on the next.
+    Orphans from crashed commits (never in any manifest) are additionally
+    aged ``keep`` numbers below the newest before deletion, so a
+    just-written-but-not-yet-committed directory is never swept by a
+    concurrent-looking crash-retry commit.
     """
     manifest = os.path.join(state_dir, _MANIFEST)
+    prev_chain = _chain(state_dir)
     tmp = manifest + ".tmp"
     with open(tmp, "w", encoding="ascii") as fh:
         fh.write("\n".join(chain) + "\n")
@@ -183,10 +190,10 @@ def _commit_generation(
         os.fsync(fh.fileno())
     os.replace(tmp, manifest)
     newest = max(int(_GEN_RE.match(g).group(1)) for g in chain)
-    live = set(chain)
+    protected = set(chain) | set(prev_chain)
     for name in os.listdir(state_dir):
         m = _GEN_RE.match(name)
-        if m and name not in live and int(m.group(1)) <= newest - keep:
+        if m and name not in protected and int(m.group(1)) <= newest - keep:
             shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
     # pre-manifest flat layout, adopted read-only by state_paths(): once a
     # real generation is committed its contents are folded in — GC it
@@ -194,6 +201,23 @@ def _commit_generation(
         path = os.path.join(state_dir, legacy)
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
+
+
+def _plan_commit(
+    state_dir: str, compact_every: int, force_compact: bool = False
+) -> tuple[list[str], str, bool, list[str]]:
+    """The chain-lifecycle decision shared by every delta-chain state
+    machine (blocks/entities here, band_keys in neardup.py): returns
+    ``(current_chain, next_gen, compact, new_chain)``.  Compaction
+    triggers when the chain would exceed ``compact_every`` (or is
+    forced, e.g. the legacy-layout upgrade); the caller writes either
+    the full folded state (compact) or the batch delta into ``next_gen``
+    and then commits ``new_chain``."""
+    chain = _chain(state_dir)
+    gen = _next_generation(state_dir)
+    compact = force_compact or len(chain) + 1 > compact_every
+    new_chain = [gen] if compact else chain + [gen]
+    return chain, gen, compact, new_chain
 
 
 def _merge_entity_rows(entities: DataFrame) -> DataFrame:
@@ -339,14 +363,14 @@ def incremental_edges_batch(
     # commit's worth of lazy reads, but eager is simpler to reason about
     edges = score_pairs(pairs, scored_entities).localCheckpoint(eager=True)
 
-    chain = _chain(state_dir)
-    gen = _next_generation(state_dir)
-    gen_dir = os.path.join(state_dir, gen)
     # compact when the chain would exceed its bound — and ALWAYS when
     # upgrading from the legacy flat layout (its dirs are GC'd on commit,
     # so the first real generation must fold them in, not delta past them)
-    legacy_upgrade = live is not None and not chain
-    compact = legacy_upgrade or len(chain) + 1 > compact_every
+    legacy_upgrade = live is not None and not _chain(state_dir)
+    _, gen, compact, new_chain = _plan_commit(
+        state_dir, compact_every, force_compact=legacy_upgrade
+    )
+    gen_dir = os.path.join(state_dir, gen)
     if compact:
         # amortised O(corpus) write: fold the whole chain + this batch
         # into one base generation
@@ -356,14 +380,12 @@ def incremental_edges_batch(
         _merge_entity_rows(all_entities_raw).write.mode("overwrite").parquet(
             os.path.join(gen_dir, "entities")
         )
-        new_chain = [gen]
     else:
         # O(batch) write: this batch's rows only
         new_blocks.write.mode("overwrite").parquet(os.path.join(gen_dir, "blocks"))
         new_entities.write.mode("overwrite").parquet(
             os.path.join(gen_dir, "entities")
         )
-        new_chain = chain + [gen]
 
     # transitive clusters ride the same generation: contracted-graph
     # incremental CC over this batch's accepted edges — O(batch) work plus

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.components import incremental_components
 from ..operators.dedup import minhash_band_keys
-from .incremental import _chain, _commit_generation, _next_generation
+from .incremental import _chain, _commit_generation, _plan_commit
 
 DOCUMENT_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
@@ -59,14 +59,13 @@ def _live_path(state_dir: str, name: str) -> str | None:
 
 
 def _chain_paths(state_dir: str, name: str) -> list[str]:
-    """Every chain generation's ``name`` table, oldest first (the
-    delta-per-commit pattern: band_keys)."""
-    return [
-        path
-        for gen in _chain(state_dir)
-        for path in [os.path.join(state_dir, gen, name)]
-        if os.path.exists(os.path.join(path, "_SUCCESS"))
-    ]
+    """Every chain generation's complete ``name`` table, oldest first
+    (the delta-per-commit pattern: band_keys).  A chain member without a
+    ``_SUCCESS`` marker is skipped — it cannot exist after a clean
+    commit, so this only arises for a table the generation never carried
+    (e.g. legacy layouts)."""
+    paths = [os.path.join(state_dir, gen, name) for gen in _chain(state_dir)]
+    return [p for p in paths if os.path.exists(os.path.join(p, "_SUCCESS"))]
 
 
 def incremental_neardup_batch(
@@ -136,20 +135,17 @@ def incremental_neardup_batch(
     # are in `build`), so min(band) matches the full batch recompute.
     pairs = pairs.localCheckpoint(eager=True)
 
-    chain = _chain(state_dir)
-    gen = _next_generation(state_dir)
+    _, gen, compact, new_chain = _plan_commit(state_dir, compact_every)
     gen_dir = os.path.join(state_dir, gen)
-    if len(chain) + 1 > compact_every:
+    if compact:
         # amortised O(corpus) write: fold the chain + this batch into one
         # deduplicated base generation
         all_keys.dropDuplicates(["doc", "band", "bucket"]).write.mode(
             "overwrite"
         ).parquet(os.path.join(gen_dir, "band_keys"))
-        new_chain = [gen]
     else:
         # O(batch) write: this batch's keys only
         new_keys.write.mode("overwrite").parquet(os.path.join(gen_dir, "band_keys"))
-        new_chain = chain + [gen]
 
     prev_path = _live_path(state_dir, "assignments")
     prev = (

@@ -1032,10 +1032,14 @@ def test_pack_sequences_global_and_edges(spark):
 
 
 def test_pack_sequences_global_is_distributed_and_exact(spark):
-    """The global stream path must (a) range-partition the input — the
-    scale marker that no single unpartitioned window sees the full input
-    — and (b) produce exactly the single-window answer (simulated with a
-    constant group column)."""
+    """The global stream path must (a) window the full input PARTITIONED
+    by the range-segment id — the scale marker that no unpartitioned
+    window sees the corpus (the input reaches the windows through the
+    checkpointed range exchange, so the plan shows the _pack_pid window
+    over an ExistingRDD scan) — and (b) produce exactly the single-window
+    answer (simulated with a constant group column)."""
+    import re as _re
+
     from osm_wikidata_spark.operators import packing
 
     docs = spark.range(0, 5000).select(
@@ -1044,7 +1048,13 @@ def test_pack_sequences_global_is_distributed_and_exact(spark):
     )
     global_packed = packing.pack_sequences(docs, 256)
     plan = global_packed._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    # the per-row running-sum window is partitioned by the segment id
+    # (partition spec "windowspecdefinition(_pack_pid#N, ..." — vs the
+    # tiny totals window, which only ORDERS by it: "_pack_pid#N ASC")
+    assert _re.search(r"windowspecdefinition\(_pack_pid#\d+,", plan)
+    # and the corpus arrives pre-partitioned via the checkpointed range
+    # exchange, not an in-plan global sort
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
 
     single = packing.pack_sequences(
         docs.withColumn("g", F.lit("all")), 256, group_col="g"

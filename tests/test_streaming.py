@@ -256,15 +256,17 @@ def test_legacy_flat_state_migrates(spark, tmp_path):
 def test_generation_chain_compaction_and_gc(spark, tmp_path):
     """Delta-chain lifecycle: commits append batch-sized delta generations
     to the manifest chain; crossing ``compact_every`` folds the chain into
-    one base generation; generations that left the chain survive one more
-    commit (lazy-plan safety) and the merged read recovers everything."""
+    one base generation; every generation the PREVIOUS manifest referenced
+    survives exactly one more commit (lazy-plan grace — compaction retires
+    a whole chain at once, so all of it must outlive the compacting
+    commit); and the merged read recovers everything."""
     from osm_wikidata_spark.streaming.incremental import (
         _chain,
         current_generation,
         read_state,
     )
 
-    transcripts, _ = synth_transcripts(spark, n_conversations=30, turns_per_conv=2)
+    transcripts, _ = synth_transcripts(spark, n_conversations=40, turns_per_conv=2)
     state = os.path.join(str(tmp_path), "state")
     os.makedirs(state, exist_ok=True)
     for lo, hi in (("conv-000000", "conv-000010"),
@@ -278,13 +280,27 @@ def test_generation_chain_compaction_and_gc(spark, tmp_path):
     assert _chain(state) == ["gen-000003"]
     assert current_generation(state) == "gen-000003"
     gens = sorted(n for n in os.listdir(state) if n.startswith("gen-"))
-    # gen-000001 (two commits behind) is GC'd; gen-000002 survives one
-    # commit for lazy readers of the previous manifest
-    assert gens == ["gen-000002", "gen-000003"]
+    # the compacting commit retired [gen-000001, gen-000002]; BOTH must
+    # survive it — a reader holding the pre-compaction manifest has lazy
+    # plans over the whole retired chain
+    assert gens == ["gen-000001", "gen-000002", "gen-000003"]
     blocks, entities = read_state(spark, state)
     # the compacted base holds every batch's conversations
     assert entities.count() == 30
     assert blocks.select("block_id").distinct().count() == 30
+
+    # commit 4 (a plain delta): the grace expires — only the generations
+    # the PREVIOUS manifest referenced (gen-000003) plus the new chain
+    # survive
+    batch4 = transcripts.filter(
+        (F.col("conv_id") >= "conv-000030") & (F.col("conv_id") < "conv-000040")
+    )
+    incremental_edges_batch(spark, batch4, state, compact_every=2)
+    assert _chain(state) == ["gen-000003", "gen-000004"]
+    gens = sorted(n for n in os.listdir(state) if n.startswith("gen-"))
+    assert gens == ["gen-000003", "gen-000004"]
+    _blocks2, entities2 = read_state(spark, state)
+    assert entities2.count() == 40
 
 
 def test_streaming_query_runs(spark, tmp_path):
