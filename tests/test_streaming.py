@@ -211,6 +211,62 @@ def test_uncommitted_generation_recovery(spark, tmp_path):
     shutil.rmtree(orphan, ignore_errors=True)
 
 
+def test_crashed_compaction_orphan_is_invisible(spark, tmp_path):
+    """A compaction that writes its full base generation but crashes
+    before the manifest commit leaves an orphan holding a COMPLETE copy
+    of the state.  It must stay invisible — read counts stay exact (no
+    double-counted conversations), its number is skipped, and it is GC'd
+    once commits age past it."""
+    from osm_wikidata_spark.streaming.incremental import (
+        _chain,
+        read_state,
+    )
+
+    transcripts, _ = synth_transcripts(spark, n_conversations=40, turns_per_conv=2)
+    state = os.path.join(str(tmp_path), "state")
+    os.makedirs(state, exist_ok=True)
+    for lo, hi in (("conv-000000", "conv-000010"),
+                   ("conv-000010", "conv-000020")):
+        batch = transcripts.filter(
+            (F.col("conv_id") >= lo) & (F.col("conv_id") < hi)
+        )
+        incremental_edges_batch(spark, batch, state, compact_every=8)
+    assert _chain(state) == ["gen-000001", "gen-000002"]
+
+    # simulate the crashed compaction: a fully-written base generation
+    # (complete folded state) whose manifest commit never happened
+    blocks, entities = read_state(spark, state)
+    orphan = os.path.join(state, "gen-000003")
+    blocks.write.parquet(os.path.join(orphan, "blocks"))
+    entities.write.parquet(os.path.join(orphan, "entities"))
+    assert _chain(state) == ["gen-000001", "gen-000002"]  # manifest untouched
+
+    # the orphan's full copy is invisible: counts are exact
+    _b2, e2 = read_state(spark, state)
+    assert e2.count() == 20
+    assert e2.groupBy("conv_id").count().filter("count > 1").count() == 0
+
+    # next commit skips the orphan's number and stays exact
+    batch3 = transcripts.filter(
+        (F.col("conv_id") >= "conv-000020") & (F.col("conv_id") < "conv-000030")
+    )
+    incremental_edges_batch(spark, batch3, state, compact_every=8)
+    assert _chain(state) == ["gen-000001", "gen-000002", "gen-000004"]
+    _b3, e3 = read_state(spark, state)
+    assert e3.count() == 30
+    assert e3.groupBy("conv_id").count().filter("count > 1").count() == 0
+
+    # commits age past the orphan: it is GC'd (number <= newest-2, never
+    # in any manifest)
+    batch4 = transcripts.filter(
+        (F.col("conv_id") >= "conv-000030") & (F.col("conv_id") < "conv-000040")
+    )
+    incremental_edges_batch(spark, batch4, state, compact_every=8)
+    assert not os.path.exists(orphan)
+    _b4, e4 = read_state(spark, state)
+    assert e4.count() == 40
+
+
 def test_legacy_flat_state_migrates(spark, tmp_path):
     """Pre-manifest state (<state>/blocks + <state>/entities, the layout
     the directory-rename implementation wrote) must be adopted on upgrade —
