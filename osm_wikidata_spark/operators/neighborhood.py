@@ -58,12 +58,26 @@ def global_rank(
         if n_buckets is not None
         else df.repartitionByRange(*cols)
     )
-    parted = parted.withColumn("_snm_part", F.spark_partition_id())
+    # the eager localCheckpoint is LOAD-BEARING for correctness, not an
+    # optimisation (same hazard as operators/packing.py, where the
+    # double exchange was observed in the executed plan): the ranked
+    # branch and the counts branch below both consume this frame, and
+    # without the materialisation each plans its OWN range exchange
+    # whose RangePartitioner re-samples bounds with an RDD-id-derived
+    # seed — a row's _snm_part could then differ between the branches,
+    # silently corrupting ranks once sampling is partial (at toy scale
+    # the sample covers every row, which is why this never failed a
+    # test).  Checkpointing pins one physical partitioning for both.
+    parted = parted.withColumn(
+        "_snm_part", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("_snm_part").orderBy(*cols)
     ranked = parted.withColumn("_snm_rn", F.row_number().over(w))
     # exclusive running count per range partition: #partitions rows, so
     # the single-partition window over the DIM is O(buckets), not O(N)
-    counts = ranked.groupBy("_snm_part").agg(F.count("*").alias("_snm_n"))
+    # (counted off the pre-window frame — the window itself has exactly
+    # one consumer and is computed once)
+    counts = parted.groupBy("_snm_part").agg(F.count("*").alias("_snm_n"))
     woff = (
         Window.orderBy("_snm_part")
         .rowsBetween(Window.unboundedPreceding, -1)
