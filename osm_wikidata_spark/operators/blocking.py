@@ -75,7 +75,16 @@ def _candidate_pairs_raw(
         right_n = right.groupBy("block_key").agg(F.count("*").alias("right_n"))
         hot = (
             left_n.join(right_n, "block_key")
-            .filter(F.col("left_n") * F.col("right_n") > hot_threshold)
+            # product compared in DOUBLE: a BIGINT left_n·right_n overflows
+            # once both sides of one key exceed ~3e9 rows (uncapped feeds
+            # at 10^12 records) — under ANSI a job failure, without it a
+            # negative wrap that silently DROPS the hottest key from the
+            # salt list, the exact key the defence exists for.  The
+            # threshold comparison needs no exactness beyond 2^53.
+            .filter(
+                F.col("left_n").cast("double") * F.col("right_n")
+                > F.lit(float(hot_threshold))
+            )
             .select("block_key")
         )
         hot_b = F.broadcast(hot)

@@ -28,6 +28,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _comb_sum(col: str) -> F.Column:
+    """``Σ C(n, 2)`` with the product in DECIMAL(38,0), exported as BIGINT.
+
+    ``n*(n-1) div 2`` on BIGINT counts overflows once a single count
+    reaches ~4.3e9 — under ANSI mode that is a job failure, without it a
+    silently wrong metric, and both hit exactly the degenerate
+    mega-cluster / all-in-one-cell inputs an evaluator exists to diagnose
+    at 10^12 items.  DECIMAL(38,0) carries the product exactly to 1e38;
+    the product is always even so the halving is exact; the final BIGINT
+    cast faults only when the resulting VALUE exceeds the declared output
+    schema (~9.2e18 pairs) — an honest boundary, not an intermediate one.
+    """
+    n = F.col(col)
+    return (F.sum(n.cast("decimal(38,0)") * (n - F.lit(1))) / F.lit(2)).cast(
+        "long"
+    )
+
+
 def pairwise_cluster_metrics(
     assignments: DataFrame,
     pred_col: str = "component",
@@ -52,7 +70,15 @@ def pairwise_cluster_metrics(
         .join(true_sizes, true_col)
         .agg(
             F.sum("n_cell").alias("n_items"),
-            F.sum(F.expr("(n_cell * (n_cell - 1)) div 2")).alias("tp"),
+            # comb sums run in DECIMAL(38,0): n*(n-1) on BIGINT overflows
+            # once any cell/cluster reaches ~4.3e9 rows — a loud ANSI
+            # failure (silent wrap otherwise) exactly on the degenerate
+            # mega-cluster inputs an evaluator must survive at 10^12
+            # items.  The product is always even, so halving is exact;
+            # the export cast back to BIGINT only faults when the VALUE
+            # itself exceeds the declared schema (an honest boundary,
+            # ~9.2e18 pairs), not when an intermediate does.
+            _comb_sum("n_cell").alias("tp"),
             F.sum(
                 F.col("n_cell").cast("double") * F.col("n_cell") / F.col("n_pred")
             ).alias("b3p_num"),
@@ -61,12 +87,8 @@ def pairwise_cluster_metrics(
             ).alias("b3r_num"),
         )
     )
-    pred_pairs = pred_sizes.agg(
-        F.sum(F.expr("(n_pred * (n_pred - 1)) div 2")).alias("pred_pairs")
-    )
-    true_pairs = true_sizes.agg(
-        F.sum(F.expr("(n_true * (n_true - 1)) div 2")).alias("true_pairs")
-    )
+    pred_pairs = pred_sizes.agg(_comb_sum("n_pred").alias("pred_pairs"))
+    true_pairs = true_sizes.agg(_comb_sum("n_true").alias("true_pairs"))
     stats = base.crossJoin(F.broadcast(pred_pairs)).crossJoin(
         F.broadcast(true_pairs)
     )
@@ -155,7 +177,11 @@ def blocking_metrics(
             F.lit(0),
         ).alias("n_matched"),
     )
-    total_pairs = n_records * (n_records - 1) // 2
+    # Python int is arbitrary-precision, but a literal > 2^63-1 cannot
+    # encode as a Spark BIGINT lit (n_records ≈ 4.3e9 crosses it); the
+    # reduction ratio is a double, so ship the denominator as a double
+    # literal (exact to 2^53, approximate beyond — fine for a ratio)
+    total_pairs = float(n_records * (n_records - 1) // 2)
 
     def _ratio(num, den):
         return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
@@ -257,7 +283,13 @@ def cluster_cohesion(
             "density",
             F.when(n < 2, F.lit(1.0)).otherwise(
                 F.round(
-                    F.col("n_edges").cast("double") / (n * (n - 1) / 2),
+                    # C(n, 2) in double: the BIGINT product n*(n-1)
+                    # overflows (ANSI: job failure) at n ≈ 4.3e9 nodes —
+                    # i.e. exactly on the degenerate mega-cluster this
+                    # diagnostic exists to flag; density is a double
+                    # ratio, so double math loses nothing
+                    F.col("n_edges").cast("double")
+                    / (n.cast("double") * (n - F.lit(1)).cast("double") / F.lit(2.0)),
                     precision,
                 )
             ),
@@ -305,20 +337,29 @@ def adjusted_rand_index(
     b_sizes = cells.groupBy(b_col).agg(F.sum("n_cell").alias("n_b"))
     idx = cells.agg(
         F.sum("n_cell").alias("n_items"),
-        F.sum(F.expr("(n_cell * (n_cell - 1)) div 2")).alias("index"),
+        _comb_sum("n_cell").alias("index"),
     )
-    sum_a = a_sizes.agg(F.sum(F.expr("(n_a * (n_a - 1)) div 2")).alias("sa"))
-    sum_b = b_sizes.agg(F.sum(F.expr("(n_b * (n_b - 1)) div 2")).alias("sb"))
+    sum_a = a_sizes.agg(_comb_sum("n_a").alias("sa"))
+    sum_b = b_sizes.agg(_comb_sum("n_b").alias("sb"))
     n = F.col("n_items")
-    total = (n * (n - 1) / 2).cast("double")
+    # C(n, 2) straight in double: the BIGINT product n*(n-1) overflows at
+    # n ≈ 4.3e9 items, and `total` only ever feeds double ratio math
+    total = n.cast("double") * (n - F.lit(1)).cast("double") / F.lit(2.0)
     stats = (
         idx.crossJoin(F.broadcast(sum_a))
         .crossJoin(F.broadcast(sum_b))
         .select(
             "n_items",
             "index",
+            # sa·sb in DOUBLE: the BIGINT product overflows once
+            # sa·sb > 2^63 — with moderate 1000-item clusters that is
+            # already a ~10-MILLION-item input, far below the design
+            # point; `expected` is a double metric, so double math is
+            # the honest type (exact to 2^53, approximate beyond —
+            # fine for a ratio whose numerator is an expectation)
             F.when(
-                total > 0, F.col("sa") * F.col("sb") / total
+                total > 0,
+                F.col("sa").cast("double") * F.col("sb").cast("double") / total,
             ).otherwise(F.lit(0.0)).alias("expected"),
             ((F.col("sa") + F.col("sb")) / F.lit(2.0)).alias("max_index"),
         )

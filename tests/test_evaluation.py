@@ -175,3 +175,50 @@ def test_v_measure_single_cluster_mixed(spark):
     assert r["homogeneity"] == 0.0
     assert r["completeness"] == 1.0
     assert r["v_measure"] == 0.0
+
+
+# ---------------------------------------------------------------- overflow
+
+
+def test_comb_sum_mega_count_exact(spark):
+    # C(n,2) with n*(n-1) on BIGINT overflows (ANSI: job failure) once a
+    # single count reaches ~4.3e9 — the degenerate mega-cluster input an
+    # evaluator must survive at 10^12 items.  The DECIMAL(38,0) product
+    # must return the exact value right up to the declared BIGINT output
+    # boundary.
+    from osm_wikidata_spark.operators.evaluation import _comb_sum
+
+    n = 4_000_000_000
+    df = spark.createDataFrame([(n,)], "n bigint")
+    out = df.agg(_comb_sum("n").alias("c")).collect()[0]["c"]
+    assert out == n * (n - 1) // 2  # 7999999998000000000 < 2^63-1
+
+
+def test_ari_mega_cluster_no_overflow(spark):
+    # sa*sb on BIGINT overflows 2^63 already at ~100k-item single-cluster
+    # inputs (C(1e5,2)^2 = 2.5e19): identical all-in-one partitions must
+    # come back ari=1.0, not an arithmetic-overflow job failure.
+    from pyspark.sql import functions as F
+
+    from osm_wikidata_spark.operators.evaluation import adjusted_rand_index
+
+    df = spark.range(100_000).select(
+        F.lit(1).alias("component_a"), F.lit(1).alias("component_b")
+    )
+    r = adjusted_rand_index(df).collect()[0]
+    assert r["n_items"] == 100_000
+    assert r["index"] == 100_000 * 99_999 // 2
+    assert r["ari"] == 1.0
+
+
+def test_blocking_metrics_mega_universe_literal(spark):
+    # C(n_records,2) for n_records > ~4.3e9 exceeds what a Spark BIGINT
+    # literal can encode; the reduction-ratio denominator is a double, so
+    # the metric must still compute (reduction ratio ~ 1.0 here).
+    from osm_wikidata_spark.operators.evaluation import blocking_metrics
+
+    cand = spark.createDataFrame([(1, 2), (3, 4)], "left_id int, right_id int")
+    truth = spark.createDataFrame([(1, 2)], "left_id int, right_id int")
+    r = blocking_metrics(cand, truth, n_records=10_000_000_000).collect()[0]
+    assert r["n_candidates"] == 2 and r["n_matched"] == 1
+    assert r["reduction_ratio"] == pytest.approx(1.0)
