@@ -191,12 +191,15 @@ def soundex_block_keys(
 
     Empty/blank words produce empty codes and are dropped; compose with
     :func:`build_blocks`-style caps downstream (common codes are the
-    phonetic analog of stopword mega-blocks).
+    phonetic analog of stopword mega-blocks).  ``sep`` is a LITERAL
+    separator (regex-quoted internally).
     """
+    from .scoring import quote_sep
+
     return (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(F.split(F.col(text_col), sep)).alias("word"),
+            F.explode(F.split(F.col(text_col), quote_sep(sep))).alias("word"),
         )
         .filter(F.col("word") != "")
         .select("id", F.soundex("word").alias("code"))

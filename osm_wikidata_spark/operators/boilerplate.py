@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .scoring import quote_sep
 from .textstats import token_count
 
 #: Characters C4 accepts as a sentence/line terminator.
@@ -89,7 +90,7 @@ def line_dedup(
     # fully-boilerplate doc).
     lines = docs.select(
         id_col,
-        F.posexplode_outer(F.split(F.col(text_col), line_delim)).alias(
+        F.posexplode_outer(F.split(F.col(text_col), quote_sep(line_delim))).alias(
             "pos", "line"
         ),
     ).withColumn("norm", _norm_line(F.col("line")))
@@ -155,7 +156,7 @@ def c4_line_filters(
         .isin(*TERMINAL_PUNCT)
         & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line)
     )
-    arr = F.split(F.col(text_col), line_delim)
+    arr = F.split(F.col(text_col), quote_sep(line_delim))
     kept = F.filter(arr, is_kept)
     n_sentences = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]"), F.lit(0))

@@ -58,7 +58,17 @@ def pairwise_cluster_metrics(
     ``assignments`` has one row per item with its predicted cluster and
     true class (any orderable types).  A side with no positive pairs
     defines its ratio as 0.0 (convention shared with the SQL oracle).
+
+    NULL-labeled rows (unlabeled items) are EXCLUDED up front — the family
+    convention shared with :func:`v_measure` and
+    :func:`adjusted_rand_index`.  Without the filter the metrics silently
+    skew: the contingency cells here flow through equi-joins (which drop
+    NULL keys) while the pairs(pred)/pairs(true) rollups would still count
+    the NULL groups, so unlabeled items would inflate fp/fn one-sidedly.
     """
+    assignments = assignments.filter(
+        F.col(pred_col).isNotNull() & F.col(true_col).isNotNull()
+    )
     cells = assignments.groupBy(pred_col, true_col).agg(
         F.count("*").alias("n_cell")
     )
@@ -228,7 +238,13 @@ def cluster_cohesion(
       convention (trivially complete).
     * edges are orientation-normalised and deduped; only intra-cluster
       edges count (cross-cluster edges — candidates the scorer rejected —
-      are ignored).
+      are ignored).  When duplicate edges carry DIFFERENT weights (both
+      orientations scored, or two scoring channels), the pair keeps its
+      MAX weight — a deterministic pick (``dropDuplicates`` would keep
+      whichever row a partition scan saw first, making min/avg_weight
+      partitioning-dependent); max = the strongest supporting evidence
+      for the link, so the cluster-level ``min_weight`` reads as "the
+      weakest link even under its best score".
     * weight stats are null for edgeless clusters (left-join semantics),
       present only when ``weight_col`` is given.
 
@@ -240,7 +256,16 @@ def cluster_cohesion(
     norm_cols = [F.least(a, b).alias("_ea"), F.greatest(a, b).alias("_eb")] + (
         [F.col(weight_col).alias("_w")] if weight_col else []
     )
-    e = edges.select(*norm_cols).dropDuplicates(["_ea", "_eb"])
+    if weight_col:
+        # deterministic per-pair weight under duplicate edges: max, not an
+        # arbitrary dropDuplicates survivor (see docstring)
+        e = (
+            edges.select(*norm_cols)
+            .groupBy("_ea", "_eb")
+            .agg(F.max("_w").alias("_w"))
+        )
+    else:
+        e = edges.select(*norm_cols).dropDuplicates(["_ea", "_eb"])
     la = assignments.select(
         F.col(node_col).alias("_ea"), F.col(comp_col).alias("_ca")
     )
@@ -316,8 +341,10 @@ def adjusted_rand_index(
     levels, without any labeled truth.
 
     ``assignments`` has one row per item with its cluster id under run A
-    and run B.  Returns one row: ``(n_items, index, expected, max_index,
-    ari)`` where
+    and run B; rows where either label is NULL (unlabeled items) are
+    excluded — the family convention shared with
+    :func:`pairwise_cluster_metrics` and :func:`v_measure`.  Returns one
+    row: ``(n_items, index, expected, max_index, ari)`` where
 
         index    = Σ_cells C(n_ij, 2)
         expected = Σ_i C(a_i, 2) · Σ_j C(b_j, 2) / C(n, 2)
@@ -332,6 +359,9 @@ def adjusted_rand_index(
     shuffle on the (a, b) contingency cell, two rollup dims, 1-row
     combine; never materialises pairs.
     """
+    assignments = assignments.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    )
     cells = assignments.groupBy(a_col, b_col).agg(F.count("*").alias("n_cell"))
     a_sizes = cells.groupBy(a_col).agg(F.sum("n_cell").alias("n_a"))
     b_sizes = cells.groupBy(b_col).agg(F.sum("n_cell").alias("n_b"))
@@ -397,13 +427,21 @@ def v_measure(
 
     Degenerate conventions (matching scikit-learn): a side with zero
     entropy (single class / single cluster) defines its ratio as 1.0; if
-    homogeneity + completeness = 0, v = 0.0.
+    homogeneity + completeness = 0, v = 0.0.  NULL-labeled rows are
+    excluded up front — the family convention shared with
+    :func:`pairwise_cluster_metrics` and :func:`adjusted_rand_index`
+    (the conditional-entropy cells here flow through equi-joins, which
+    drop NULL keys, while the marginal entropies would still count the
+    NULL groups — the same one-sided skew).
 
     Same scale shape as :func:`pairwise_cluster_metrics` /
     :func:`adjusted_rand_index`: one shuffle on the contingency cell, two
     rollups, 1-row combine — entropies are plain Σ (n/N)·ln(n/N) sums over
     cell/rollup counts, never per-pair work.
     """
+    assignments = assignments.filter(
+        F.col(pred_col).isNotNull() & F.col(true_col).isNotNull()
+    )
     cells = assignments.groupBy(pred_col, true_col).agg(
         F.count("*").alias("n_cell")
     )

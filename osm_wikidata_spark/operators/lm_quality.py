@@ -102,6 +102,7 @@ def doc_perplexity(
     model: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = False,
 ) -> DataFrame:
     """Per-document perplexity under ``model`` (a :func:`unigram_model`
     frame, possibly built from a different, trusted corpus).
@@ -124,7 +125,21 @@ def doc_perplexity(
     the two subsequent divisions are correctly-rounded operations on
     bit-identical operands.  ``exp`` is then fed the rounded mean, also
     bit-identical.
+
+    ``model`` is consumed TWICE (the token join + the 1-row
+    :func:`oov_logprob` aggregate), so an unpersisted
+    :func:`unigram_model` plan — a full tokenize + groupBy over the
+    trusted corpus — would run twice per scoring job.  ``persist``
+    (opt-in, the :func:`~.metablocking.prune_edges_cnp` /
+    ``ngram_jaccard_pairs`` convention: the CALLER owns the cache entry
+    and unpersists/clears it) caches the model frame across the two
+    consumers; leave it False when passing an already-materialised model
+    (a table read), where a cache would only duplicate storage.
     """
+    if persist:
+        from pyspark import StorageLevel
+
+        model = model.persist(StorageLevel.MEMORY_AND_DISK)
     lp_micro = F.round(
         F.coalesce("logprob", "oov_logprob") * 1e6, 0
     ).cast("bigint")

@@ -95,13 +95,28 @@ def block_edge_weights(
 
 
 def prune_edges_wep(weights: DataFrame, weight_col: str = "js") -> DataFrame:
-    """Weighted Edge Pruning: keep edges strictly above the global mean
-    weight (Papadakis WEP).  The mean is a single scalar — computed once
-    and cross-joined back as a 1-row broadcast."""
-    mean = weights.agg(F.avg(weight_col).alias("_mean_w"))
+    """Weighted Edge Pruning: keep edges AT OR ABOVE the global mean weight
+    (Papadakis WEP discards weights *below* the average — ``>=`` matters:
+    a uniform-weight edge set, the common single-channel blocking case
+    where every pair shares exactly one block, has mean == every weight
+    and a strict ``>`` would prune it to EMPTY, a silent 100% recall
+    loss).  The mean is a single scalar — computed once and cross-joined
+    back as a 1-row broadcast.
+
+    Determinism at the boundary: weights arrive ``precision``-rounded
+    (6 dp from :func:`block_edge_weights`), so both the mean and the
+    comparison run in DECIMAL — a double ``avg`` is summation-order-
+    dependent in its last ulp, which would flip edges sitting exactly on
+    the mean in and out across partitionings/engines.  Decimal sum/count
+    arithmetic is exact, so the kept set is a pure function of the data.
+    """
+    w_dec = F.col(weight_col).cast("decimal(38,12)")
+    mean = weights.agg(
+        (F.sum(w_dec) / F.count("*")).alias("_mean_w")
+    )
     return (
         weights.crossJoin(F.broadcast(mean))
-        .filter(F.col(weight_col) > F.col("_mean_w"))
+        .filter(F.col(weight_col).cast("decimal(38,12)") >= F.col("_mean_w"))
         .drop("_mean_w")
     )
 

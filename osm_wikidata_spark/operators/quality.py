@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import normalize_text
+from .scoring import quote_sep
 
 _PACK = 4294967296  # 2^32: (count, chars) packed into one BIGINT
 
@@ -221,7 +222,10 @@ def repetition_stats(
     # differential test on edge-space lines; the sf0.01 oracle data never
     # exercised them)
     lines_arr = F.filter(
-        F.transform(F.split(F.col(text_col), line_delim), lambda x: F.trim(x)),
+        F.transform(
+            F.split(F.col(text_col), quote_sep(line_delim)),
+            lambda x: F.trim(x),
+        ),
         lambda x: x != "",
     )
 

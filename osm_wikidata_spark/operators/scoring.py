@@ -135,6 +135,20 @@ def levenshtein_ratio(left: str | F.Column, right: str | F.Column) -> F.Column:
     )
 
 
+def quote_sep(sep: str) -> str:
+    """Escape a LITERAL separator for the JVM-regex split functions.
+
+    Spark's ``F.split`` treats its pattern as a Java regex, so a caller
+    passing ``sep='.'`` or ``'|'`` to any scorer here would silently split
+    between every character.  Every ``sep`` parameter in this module (and
+    the ``line_delim`` parameters in boilerplate/quality) is documented as
+    a literal string and routed through this ``Pattern.quote``-equivalent
+    wrapper (``\\Q…\\E``, with embedded ``\\E`` handled the way
+    ``java.util.regex.Pattern.quote`` does).
+    """
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def token_set_overlap(
     left: str | F.Column, right: str | F.Column, sep: str = " "
 ) -> F.Column:
@@ -142,12 +156,14 @@ def token_set_overlap(
 
     Pure JVM array algebra; ``array_intersect`` already set-dedups, matching
     DuckDB ``list_intersect``.  Either side tokenising to the empty set
-    scores 0.0 (no evidence ≠ evidence of match).
+    scores 0.0 (no evidence ≠ evidence of match).  ``sep`` is a LITERAL
+    separator (regex-quoted internally — ``sep='.'`` splits on dots, not
+    on every character).
     """
     lc = F.col(left) if isinstance(left, str) else left
     rc = F.col(right) if isinstance(right, str) else right
-    lt = F.array_distinct(F.filter(F.split(lc, sep), lambda t: t != ""))
-    rt = F.array_distinct(F.filter(F.split(rc, sep), lambda t: t != ""))
+    lt = F.array_distinct(F.filter(F.split(lc, quote_sep(sep)), lambda t: t != ""))
+    rt = F.array_distinct(F.filter(F.split(rc, quote_sep(sep)), lambda t: t != ""))
     smaller = F.least(F.size(lt), F.size(rt))
     return F.when(smaller == 0, F.lit(0.0)).otherwise(
         F.size(F.array_intersect(lt, rt)).cast("double") / smaller
@@ -171,7 +187,9 @@ def token_idf_dim(
     """
     tokens = docs.select(
         F.explode(
-            F.array_distinct(F.filter(F.split(F.col(text_col), sep), lambda t: t != ""))
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), quote_sep(sep)), lambda t: t != "")
+            )
         ).alias("token")
     )
     df_counts = tokens.groupBy("token").agg(F.count("*").alias("df"))
@@ -210,12 +228,19 @@ def idf_token_overlap(
     0.0 by default, i.e. out-of-corpus tokens carry no weight; pass
     ``ln(N+1)+1`` to treat them as maximally rare instead.  Pairs whose
     union is empty, or whose union-idf mass is 0, score 0.0.
+
+    Row contract: one output row per DISTINCT input row — fully duplicate
+    pair rows collapse in the final groupBy (values are unaffected: the
+    numerator and denominator sums scale together).  Contrast
+    :func:`soft_tfidf` / :func:`monge_elkan` / :func:`score_name_pairs`,
+    which preserve input cardinality; pass distinct pairs when chaining
+    scorers that will be column-joined.
     """
     lt = F.array_distinct(
-        F.filter(F.split(F.col(left_col), sep), lambda t: t != "")
+        F.filter(F.split(F.col(left_col), quote_sep(sep)), lambda t: t != "")
     )
     rt = F.array_distinct(
-        F.filter(F.split(F.col(right_col), sep), lambda t: t != "")
+        F.filter(F.split(F.col(right_col), quote_sep(sep)), lambda t: t != "")
     )
     exploded = pairs.select(
         "*",
@@ -296,16 +321,23 @@ def soft_tfidf(
     distinct-pair memo hit rate is highest (token vocabulary ≪ pair
     count).  Per-pair regroups key on ``pairs``' own columns — keep those
     compact (ids + names), not payload-laden, at scale.
+
+    Input cardinality is preserved: the token expansion runs over the
+    DISTINCT pair rows (duplicate input rows would otherwise double the
+    token rows inside the per-pair norm windows and silently halve the
+    score) and the final assembly join fans the per-distinct-row score
+    back out to every input row.
     """
     cols = list(pairs.columns)
+    uniq = pairs.dropDuplicates(cols)
 
     def _toks(c: str) -> F.Column:
         return F.array_distinct(
-            F.filter(F.split(F.col(c), sep), lambda t: t != "")
+            F.filter(F.split(F.col(c), quote_sep(sep)), lambda t: t != "")
         )
 
     def _side(col: str, tok: str, w: str) -> DataFrame:
-        side = pairs.select(*cols, F.explode(_toks(col)).alias(tok))
+        side = uniq.select(*cols, F.explode(_toks(col)).alias(tok))
         return side.join(
             idf_dim.withColumnRenamed("token", tok), tok, "left"
         ).withColumn(w, F.coalesce(F.col("idf"), F.lit(float(default_idf)))).drop(
@@ -385,7 +417,7 @@ def monge_elkan(
 
     def _toks(c: str) -> F.Column:
         return F.array_distinct(
-            F.filter(F.split(F.col(c), sep), lambda t: t != "")
+            F.filter(F.split(F.col(c), quote_sep(sep)), lambda t: t != "")
         )
 
     lt = pairs.select(*cols, F.explode(_toks(left_col)).alias("_lt"))
@@ -543,7 +575,9 @@ def chargram_cosine(
 
     Plan: one |A∪B|-gram explode per pair, one UNHINTED vocabulary join,
     one per-pair aggregation — the :func:`idf_token_overlap` shape with a
-    cosine instead of a Jaccard combine.
+    cosine instead of a Jaccard combine (and the same row contract: one
+    output row per DISTINCT input row; duplicates collapse with values
+    unaffected, since dot and norms scale together).
     """
     lg = F.array_distinct(_chargrams(F.col(left_col), n))
     rg = F.array_distinct(_chargrams(F.col(right_col), n))

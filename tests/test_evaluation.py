@@ -222,3 +222,58 @@ def test_blocking_metrics_mega_universe_literal(spark):
     r = blocking_metrics(cand, truth, n_records=10_000_000_000).collect()[0]
     assert r["n_candidates"] == 2 and r["n_matched"] == 1
     assert r["reduction_ratio"] == pytest.approx(1.0)
+
+
+def test_null_labels_excluded_consistently(spark):
+    """Unlabeled (NULL) rows are excluded by the whole evaluator family:
+    metrics over a frame with NULL labels equal metrics over the non-null
+    subset.  (Before the filter, the contingency equi-joins dropped
+    null-keyed cells while the pairs(pred)/pairs(true) rollups still
+    counted them — unlabeled items inflated fp/fn one-sidedly.)"""
+    from osm_wikidata_spark.operators.evaluation import (
+        adjusted_rand_index,
+        pairwise_cluster_metrics,
+        v_measure,
+    )
+
+    schema = "node int, component string, truth string"
+    labeled = [
+        (1, "c1", "t1"), (2, "c1", "t1"), (3, "c1", "t2"),
+        (4, "c2", "t2"), (5, "c2", "t2"),
+    ]
+    extra = [(6, "c1", None), (7, None, "t1"), (8, None, None)]
+    full = spark.createDataFrame(labeled + extra, schema)
+    clean = spark.createDataFrame(labeled, schema)
+
+    m_full = pairwise_cluster_metrics(full, "component", "truth").collect()[0]
+    m_clean = pairwise_cluster_metrics(clean, "component", "truth").collect()[0]
+    assert m_full.asDict() == m_clean.asDict()
+    assert m_full["n_items"] == 5
+
+    v_full = v_measure(full, "component", "truth").collect()[0]
+    v_clean = v_measure(clean, "component", "truth").collect()[0]
+    assert v_full.asDict() == v_clean.asDict()
+
+    a_full = adjusted_rand_index(full, "component", "truth").collect()[0]
+    a_clean = adjusted_rand_index(clean, "component", "truth").collect()[0]
+    assert a_full.asDict() == a_clean.asDict()
+    assert a_full["n_items"] == 5
+
+
+def test_cluster_cohesion_duplicate_edge_weights_take_max(spark):
+    """Duplicate edges with different weights (both orientations scored,
+    or two channels) keep the MAX — a deterministic pick, not whichever
+    row a partition scan saw first."""
+    from osm_wikidata_spark.operators.evaluation import cluster_cohesion
+
+    assigns = spark.createDataFrame(
+        [(1, 10), (2, 10)], "node int, component int"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 0.4), (2, 1, 0.9), (1, 2, 0.7)],
+        "left_id int, right_id int, w double",
+    )
+    row = cluster_cohesion(assigns, edges, weight_col="w").collect()[0]
+    assert row["n_edges"] == 1
+    assert row["min_weight"] == pytest.approx(0.9)
+    assert row["avg_weight"] == pytest.approx(0.9)

@@ -53,25 +53,28 @@ def test_max_block_cap_drops_megablock_observably(spark):
     assert got[0]["cbs"] == 1 and got[0]["js"] == pytest.approx(1 / 3)
 
 
-def test_wep_strictly_above_mean(spark):
+def test_wep_keeps_at_or_above_mean(spark):
     rows = [
         (1, "x"), (2, "x"),          # (1,2): cbs 1
         (3, "y"), (3, "z"), (4, "y"), (4, "z"),  # (3,4): cbs 2, js 1.0
     ]
     w = _weights(spark, rows)
-    kept = prune_edges_wep(w).collect()
-    # weights: (1,2)=1.0? no: |B1|=|B2|=1 → js=1.0; (3,4)=1.0 → mean 1.0,
-    # strictly-above keeps nothing
-    assert kept == []
-    # asymmetric weights: only the above-mean edge survives
+    kept = {(r.left_id, r.right_id) for r in prune_edges_wep(w).collect()}
+    # uniform weights (both edges js=1.0): mean == every weight — WEP
+    # discards only weights BELOW the average, so a uniform edge set
+    # survives intact (a strict > would prune the common single-channel
+    # blocking case to empty, a silent 100% recall loss)
+    assert kept == {(1, 2), (3, 4)}
+    # asymmetric weights: the below-mean edges drop, at-or-above survive
     rows2 = rows + [(5, "y"), (6, "q"), (6, "y")]
     w2 = _weights(spark, rows2)
     kept2 = {(r.left_id, r.right_id) for r in prune_edges_wep(w2).collect()}
     mean = w2.agg(F.avg("js")).first()[0]
     expect = {
-        (r.left_id, r.right_id) for r in w2.collect() if r.js > mean
+        (r.left_id, r.right_id) for r in w2.collect() if r.js >= mean
     }
-    assert kept2 == expect and len(kept2) > 0
+    assert kept2 == expect
+    assert 0 < len(kept2) < w2.count()
 
 
 def test_cnp_union_topk(spark):

@@ -1511,6 +1511,16 @@ def test_doc_perplexity_oov_and_empty(spark):
     assert out[11]["perplexity"] < out[10]["perplexity"]
     assert out[12]["n_tokens"] == 0
     assert out[12]["avg_logprob"] is None and out[12]["perplexity"] is None
+    # persist=True (one cache across the model's two consumers) is
+    # value-identical; caller owns the cache entry
+    out_p = {
+        r["doc_id"]: r
+        for r in lm_quality.doc_perplexity(target, model, persist=True).collect()
+    }
+    assert {k: v.asDict() for k, v in out_p.items()} == {
+        k: v.asDict() for k, v in out.items()
+    }
+    model.unpersist()
 
 
 def test_vocab_top_k_tiebreak(spark):

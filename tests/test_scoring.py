@@ -490,3 +490,56 @@ def test_chargram_cosine_is_pure_jvm(spark):
         df.explain(mode="formatted")
     plan = buf.getvalue()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sep_is_a_literal_separator_not_a_regex(spark):
+    """sep='.' (or '|') must split on the CHARACTER, not act as a regex
+    that splits between every character (F.split takes a Java regex; the
+    scorers quote it)."""
+    from osm_wikidata_spark.operators.scoring import (
+        token_set_overlap,
+        token_idf_dim,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, "a.b", "b.c"), (2, "x|y", "y|z")],
+        "pair_id int, left_name string, right_name string",
+    )
+    dotted = pairs.select(
+        "pair_id",
+        token_set_overlap("left_name", "right_name", sep=".").alias("s"),
+    )
+    got = {r["pair_id"]: r["s"] for r in dotted.collect()}
+    # {'a','b'} vs {'b','c'} → 1/2 (a regex '.' would yield empty sets → 0)
+    assert got[1] == pytest.approx(0.5)
+    piped = pairs.select(
+        "pair_id",
+        token_set_overlap("left_name", "right_name", sep="|").alias("s"),
+    )
+    assert {r["pair_id"]: r["s"] for r in piped.collect()}[2] == pytest.approx(0.5)
+    # the idf dim tokenises with the same literal semantics
+    corpus = spark.createDataFrame([("a.b",), ("b.c",)], "name string")
+    toks = {r["token"] for r in token_idf_dim(corpus, sep=".").collect()}
+    assert toks == {"a", "b", "c"}
+
+
+def test_soft_tfidf_duplicate_pair_rows_score_unchanged(spark):
+    """Duplicate input rows must not inflate the per-pair L2 norms: each
+    duplicate gets the SAME score as the deduplicated pair, and input
+    cardinality is preserved."""
+    from osm_wikidata_spark.operators.scoring import soft_tfidf, token_idf_dim
+
+    corpus = spark.createDataFrame(
+        [("red lion inn",), ("white hart",), ("red house",)], "name string"
+    )
+    dim = token_idf_dim(corpus)
+    single = spark.createDataFrame(
+        [(1, 2, "red lion", "red lion inn")],
+        "left_id int, right_id int, left_name string, right_name string",
+    )
+    doubled = single.unionByName(single)
+    base = soft_tfidf(single, dim).collect()
+    dup = soft_tfidf(doubled, dim).collect()
+    assert len(base) == 1 and len(dup) == 2
+    assert {r["soft_tfidf"] for r in dup} == {base[0]["soft_tfidf"]}
+    assert base[0]["soft_tfidf"] > 0.0
