@@ -123,6 +123,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a misspelled subset name would otherwise match nothing and print
+        # "0 failures" — a vacuous pass masquerading as a green sweep
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        spark.stop()
+        return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
