@@ -566,3 +566,37 @@ def test_soft_tfidf_duplicate_pair_rows_score_unchanged(spark):
     assert len(base) == 1 and len(dup) == 2
     assert {r["soft_tfidf"] for r in dup} == {base[0]["soft_tfidf"]}
     assert base[0]["soft_tfidf"] > 0.0
+
+
+def test_quote_sep_literal_split_differential(spark):
+    """Differential pin of the whole quoting contract: for every ASCII
+    punctuation char (covering each JDK fast-path metachar's 2-char
+    escape branch), whitespace, and escape-hostile multi-char separators,
+    Spark's F.split(quote_sep(sep)) must equal Python's literal
+    str.split(sep) — including empty leading/trailing/consecutive
+    fields (F.split's default limit -1 keeps trailing empties, matching
+    Python's sep-split)."""
+    import string
+
+    from osm_wikidata_spark.operators.scoring import quote_sep
+
+    seps = [*string.punctuation, " ", "\t", "\n", "||", "\\E", ".*", "\\Q"]
+    texts = {}
+    for i, sep in enumerate(seps):
+        texts[i] = [
+            f"a{sep}b{sep}{sep}c{sep}",     # consecutive + trailing
+            f"{sep}x.y|z*w\\v{sep}q",       # leading + metachar payload
+            "no-sep-here",
+        ]
+    cols, expect = [], {}
+    for i, sep in enumerate(seps):
+        for j, text in enumerate(texts[i]):
+            name = f"s_{i}_{j}"
+            cols.append(F.split(F.lit(text), quote_sep(sep)).alias(name))
+            expect[name] = text.split(sep)
+    row = spark.range(1).select(*cols).collect()[0]
+    for name, want in expect.items():
+        assert list(row[name]) == want, (
+            f"{name}: sep={seps[int(name.split('_')[1])]!r} "
+            f"got {list(row[name])} want {want}"
+        )
