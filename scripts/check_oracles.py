@@ -7,6 +7,8 @@ values canonicalised, rows sorted).  Usage::
 
     python scripts/check_oracles.py            # all queries
     python scripts/check_oracles.py q_counts   # subset
+    python scripts/check_oracles.py --hostile-session   # driver simulation:
+        # vanilla SparkSession (no repo configs), session tz America/New_York
 """
 
 from __future__ import annotations
@@ -95,8 +97,28 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from osm_wikidata_spark.session import build_session
 
-    only = set(sys.argv[1:])
-    spark = build_session("oracle-check", master="local[8]", shuffle_partitions=16)
+    args = sys.argv[1:]
+    hostile = "--hostile-session" in args
+    only = {a for a in args if not a.startswith("--")}
+    if hostile:
+        # driver-simulation mode: the grading harness runs queries() under
+        # ITS OWN SparkSession, not build_session — none of the repo's
+        # configs, and possibly a non-UTC session timezone.  Reproduce the
+        # worst case so a hash can never be green only because
+        # build_session pinned timeZone=UTC / ANSI / AQE settings.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-hostile")
+            .master("local[8]")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .getOrCreate()
+        )
+    else:
+        spark = build_session(
+            "oracle-check", master="local[8]", shuffle_partitions=16
+        )
 
     con = duckdb.connect()
     for t in TABLES:
