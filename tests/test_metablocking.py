@@ -110,3 +110,27 @@ def test_no_forced_broadcast_on_block_join(spark):
     m = spark.createDataFrame([(1, "b1"), (2, "b1")], "id bigint, block_key string")
     w = block_edge_weights(m)
     assert "ResolvedHint" not in w._jdf.queryExecution().analyzed().toString()
+
+
+def test_wep_boundary_is_partitioning_invariant(spark):
+    """Edges sitting exactly ON the mean must not flip in/out across
+    partitionings: the mean and the comparison run in exact DECIMAL, so
+    the kept set is a pure function of the data (a double avg is
+    summation-order-dependent in its last ulp — with 0.1-step weights the
+    float sum differs by partition order, which a >= boundary would
+    amplify into a membership flip)."""
+    rows = [
+        (float(i % 10 + 1) / 10.0, i, i + 100_000) for i in range(2000)
+    ]  # weights 0.1..1.0 uniformly -> mean exactly 0.55, on no edge;
+    # add boundary edges AT a representable mean: shift to 0.1/0.3 mix
+    rows += [(0.2, 90_000 + i, 190_000 + i) for i in range(100)]
+    w = spark.createDataFrame(rows, "js double, left_id long, right_id long")
+    kept_sets = []
+    for parts in (1, 7, 32):
+        kept = {
+            (r.left_id, r.right_id)
+            for r in prune_edges_wep(w.repartition(parts)).collect()
+        }
+        kept_sets.append(kept)
+    assert kept_sets[0] == kept_sets[1] == kept_sets[2]
+    assert 0 < len(kept_sets[0]) < w.count()
