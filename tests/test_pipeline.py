@@ -335,3 +335,33 @@ def test_pipeline_snm_channel_superset_and_f1(spark):
     truth_map = {r["conv_id"]: r["group_id"] for r in truth.collect()}
     f1 = _pairwise_f1(components, truth_map)
     assert f1 >= 0.99, f"pairwise F1 with SNM {f1:.4f} < 0.99"
+
+
+def test_score_pairs_dedup_paths_are_value_identical(spark):
+    """score_pairs(dedup_names=False) — the unique-names plan (no
+    distinct-set shuffle + join-back) — must produce exactly the same
+    per-pair decisions as the default Zipfian-memo plan.  Pinned on a
+    real synthetic workload with repeated names (so the dedup path's
+    join-back actually fans out) and per-entity context (endings /
+    places / hamlet flags ride both paths)."""
+    from osm_wikidata_spark.operators.blocking import build_blocks, salted_pair_join
+    from osm_wikidata_spark.plans.pipeline import score_pairs
+
+    transcripts, _ = synth_transcripts(spark, n_conversations=60, turns_per_conv=4)
+    entities = extract_entities(transcripts).cache()
+    blocks = build_blocks(entities, "conv_id", "tokens", max_block_size=None)
+    pairs = salted_pair_join(blocks, blocks).filter(
+        F.col("left_id") < F.col("right_id")
+    )
+
+    def rows(dedup):
+        return {
+            (r.left_id, r.right_id, r.matched, r.kind, r.rule)
+            for r in score_pairs(pairs, entities, dedup_names=dedup).collect()
+        }
+
+    with_dedup = rows(True)
+    without = rows(False)
+    assert with_dedup == without
+    assert any(m for (_, _, m, _, _) in with_dedup)  # non-vacuous: matches exist
+    entities.unpersist()
