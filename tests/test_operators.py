@@ -1719,3 +1719,57 @@ def test_fuzzy_contamination_eval_containment(spark):
     assert got_low[3] == (0.333333, 2)
     with _pytest.raises(ValueError):
         contamination.fuzzy_contaminated_docs(train, ev, threshold=0.0)
+
+
+def test_duplicate_spans_exact_keys_equals_hashed(spark):
+    """exact_keys=True (literal-text window keys, the zero-false-positive
+    mode) must produce exactly the hashed-key output at collision-free
+    scale — pins that both key paths walk the same window lattice."""
+    from osm_wikidata_spark.operators import spans
+
+    boiler = "lorem ipsum dolor sit amet " * 4  # 20 words
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + boiler + "gamma delta"),
+            (2, "unrelated prefix words here then " + boiler),
+            (3, "no duplicated content in this document at all " * 2),
+        ],
+        "doc_id bigint, text string",
+    )
+    kw = dict(window=10, stride=3, min_count=2)
+    hashed = {tuple(r) for r in spans.duplicate_spans(docs, **kw).collect()}
+    exact = {
+        tuple(r)
+        for r in spans.duplicate_spans(docs, exact_keys=True, **kw).collect()
+    }
+    assert hashed == exact
+    assert {r[0] for r in hashed} == {1, 2}  # both boilerplate docs flagged
+
+
+def test_sample_pairs_stratified_null_stratum(spark):
+    """NULL-kind rows sample under the null_stratum name: a rate keyed on
+    'no_match' (the default sentinel) applies to them, and a custom
+    sentinel routes them to ITS rate — NULL is never silently dropped by
+    the map lookup (element_at on a NULL key would return NULL and the
+    filter would drop every unmatched row regardless of default_rate)."""
+    from osm_wikidata_spark.operators import sampling
+
+    edges = spark.createDataFrame(
+        [(i, i + 10_000, None if i % 2 else "good") for i in range(200)],
+        "left_id long, right_id long, kind string",
+    )
+    # keep ALL null-kind rows, drop every 'good' row
+    kept = sampling.sample_pairs_stratified(
+        edges, {"no_match": 1.0, "good": 0.0}
+    ).collect()
+    assert len(kept) == 100 and all(r.kind is None for r in kept)
+    # custom sentinel: the same rows route to the renamed stratum
+    kept2 = sampling.sample_pairs_stratified(
+        edges, {"unlabeled": 1.0, "good": 0.0}, null_stratum="unlabeled"
+    ).collect()
+    assert {(r.left_id, r.right_id) for r in kept2} == {
+        (r.left_id, r.right_id) for r in kept
+    }
+    # default_rate applies when the sentinel has no explicit rate
+    kept3 = sampling.sample_pairs_stratified(edges, {"good": 1.0}).collect()
+    assert len(kept3) == 100 and all(r.kind == "good" for r in kept3)
