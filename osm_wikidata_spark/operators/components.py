@@ -98,6 +98,20 @@ def connected_components(
 
     Returns ``(node, component)``.  O(log^2 n) rounds; on the chain/star
     graphs of the tests, <10.
+
+    HAZARD — ``checkpoint=False`` disables the per-round lineage cut
+    entirely and is safe ONLY for graphs that converge in ~1 round
+    (already-canonical star forests, e.g. re-verifying a stored
+    assignment): every star pass references its input 2-4×, so the uncut
+    plan tree grows exponentially per round and analysis/AQE-re-optimise
+    walk the whole tree — MEASURED as a planning livelock on a 50-edge /
+    6-round toy graph.  It is NOT a dynamic-allocation escape hatch from
+    ``localCheckpoint``'s executor-pinned blocks; on clusters with
+    executor churn use the checkpoint-TABLE loop (one stage-table write
+    per round via plans/checkpoint.py, which is also what makes the
+    10^12-edge run resumable) instead.  PySpark offers no third cut:
+    ``persist`` dedups execution but not the logical tree the planner
+    walks, and an RDD round-trip pickles every row through Python.
     """
     def _signature(df: DataFrame) -> tuple:
         """Order-independent set signature: one cheap aggregate per round

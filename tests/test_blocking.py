@@ -87,3 +87,46 @@ def test_top_k_deterministic_ties(spark):
     df = spark.createDataFrame(rows, "grp string, item string, score double")
     top = top_k_per_group(df, "grp", "score", k=3, tiebreak=["item"])
     assert [r["item"] for r in top.collect()] == ["i0", "i1", "i2"]
+
+
+def test_top_k_ascending_picks_smallest(spark):
+    """ascending=True is the reference's ORDER BY dist LIMIT shape (nearest
+    first); default descending picks the largest scores."""
+    rows = [("g", f"i{i}", float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "grp string, item string, score double")
+    nearest = top_k_per_group(df, "grp", "score", k=2, ascending=True)
+    assert sorted(r["item"] for r in nearest.collect()) == ["i0", "i1"]
+    largest = top_k_per_group(df, "grp", "score", k=2)
+    assert sorted(r["item"] for r in largest.collect()) == ["i4", "i5"]
+
+
+def test_within_names_broadcast_flag_value_identical(spark):
+    """broadcast_containers=False (huge-container mode: AQE decides the
+    join strategy) must produce exactly the broadcast-path output."""
+    from osm_wikidata_spark.operators.within import within_names
+
+    containers = spark.createDataFrame(
+        [
+            (100, {"place": "town", "name": "Springfield", "operator": "Council"}),
+            (200, {"tourism": "museum", "name": "Old Mill"}),
+            (300, {"building": "yes", "name": "NotAPlace"}),  # filtered out
+        ],
+        "container_id bigint, tags map<string,string>",
+    )
+    records = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300), (4, None)],
+        "record_id bigint, container_id bigint",
+    )
+    bcast = {
+        r["record_id"]: list(r["within_names"])
+        for r in within_names(records, containers).collect()
+    }
+    plain = {
+        r["record_id"]: list(r["within_names"])
+        for r in within_names(
+            records, containers, broadcast_containers=False
+        ).collect()
+    }
+    assert bcast == plain
+    assert bcast[1] == ["Council", "Springfield"] and bcast[2] == ["Old Mill"]
+    assert 3 not in bcast  # non-place container contributes nothing

@@ -152,3 +152,22 @@ def test_components_at_thresholds_rejects_empty(spark):
     edges = spark.createDataFrame([(1, 2, 0.5)], "left_id long, right_id long, weight double")
     with _pytest.raises(ValueError):
         components_at_thresholds(edges, [])
+
+
+def test_checkpoint_off_on_converged_star_forest(spark):
+    """checkpoint=False is documented as safe ONLY for ~1-round graphs
+    (the uncut star passes grow the plan exponentially per round): pin
+    it on its safe shape — an already-canonical star forest, where it
+    must equal the checkpointed result.  Multi-round graphs under
+    checkpoint=False are a documented planning hazard, not a supported
+    path (components.py docstring)."""
+    edges = [("a0", f"a{i}") for i in range(1, 6)] + [
+        ("b0", f"b{i}") for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(edges, "left_id string, right_id string")
+    on = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    off = {
+        r["node"]: r["component"]
+        for r in connected_components(df, checkpoint=False).collect()
+    }
+    assert on == off and on == _union_find(edges)

@@ -343,3 +343,30 @@ def test_is_diplomatic_mission_expr(spark):
     assert got == {
         "tag": True, "office": True, "name": True, "old-name": False, "none": False,
     }
+
+
+def test_final_gate_ignore_existing(spark):
+    """ignore_existing=True drops ONLY the already-tagged check (the
+    reference's --ignore-existing re-upload mode): Q6 passes the gate
+    while every other note is unchanged."""
+    from osm_wikidata_spark.operators import reduce as red
+    from osm_wikidata_spark.operators.resolve import final_gate
+
+    rows = [
+        ("Q1", "node", 11, "A", 5.0, {"name": "A"}, ["amenity=school"], True),
+        ("Q6", "node", 61, "E", 5.0, {"name": "E", "wikidata": "Q6"}, [], True),
+        ("Q2", "node", 21, "22", 5.0, {"name": "22"}, [], True),
+    ]
+    schema = (
+        "item_id string, osm_type string, osm_id bigint, name string, dist double,"
+        " tags map<string,string>, matching_tags array<string>, name_match boolean"
+    )
+    cands = spark.createDataFrame(rows, schema)
+    reduced = red.reduce_candidates(cands, building_flag=None, reservoir_flag=None)
+    notes = {
+        r["item_id"]: r["note"]
+        for r in final_gate(cands, reduced, ignore_existing=True).collect()
+    }
+    assert notes["Q6"] is None          # tagged candidate now passes
+    assert notes["Q1"] is None          # clean row unaffected
+    assert notes["Q2"] == "number as name"  # other notes unchanged
