@@ -1353,8 +1353,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the synthetic corpus is single-line; derive a deterministic
         # multi-line view (8-word lines) so line-level repetition stats
         # have structure to measure — mirrored verbatim in the oracle
-        docs = _t(spark, sf, "documents")
-        w = F.split(dedup.normalize_text("text"), " ")
+        # words STAGED in their own projection (dedup.split_words
+        # contract): the inline form re-ran the split inside the
+        # per-line slice lambda — O(W²) per document
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", dedup.split_words("text").alias("_w")
+        )
+        w = F.col("_w")
         lines = F.transform(
             F.sequence(
                 F.lit(0), F.floor((F.size(w) - 1) / 8).cast("int")

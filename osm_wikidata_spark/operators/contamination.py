@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import word_shingle_hashes
+from .dedup import word_hashes, word_shingle_hashes_from
 
 
 def contaminated_docs(
@@ -45,13 +45,20 @@ def contaminated_docs(
     """
     train = train.filter(F.col(text_col).isNotNull())
     eval_docs = eval_docs.filter(F.col(eval_text_col).isNotNull())
+    # per-word hashes staged in their own projection (dedup.split_words
+    # contract: inline shingling re-hashes the words per shingle, O(W²)/doc)
     t = train.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingle_hashes(text_col, shingle_n)).alias("shingle"),
+        F.col(id_col).alias("doc_id"), word_hashes(text_col).alias("_wh")
+    ).select(
+        "doc_id",
+        F.explode(word_shingle_hashes_from(F.col("_wh"), shingle_n)).alias("shingle"),
     )
     ev = eval_docs.select(
         F.col(eval_id_col).alias("eval_id"),
-        F.explode(word_shingle_hashes(eval_text_col, shingle_n)).alias("shingle"),
+        word_hashes(eval_text_col).alias("_wh"),
+    ).select(
+        "eval_id",
+        F.explode(word_shingle_hashes_from(F.col("_wh"), shingle_n)).alias("shingle"),
     )
     return (
         t.join(ev, "shingle")
@@ -97,13 +104,18 @@ def fuzzy_contaminated_docs(
     # null-text gate on both sides — see contaminated_docs
     train = train.filter(F.col(text_col).isNotNull())
     eval_docs = eval_docs.filter(F.col(eval_text_col).isNotNull())
+    # staged word hashes — see contaminated_docs
     t = train.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingle_hashes(text_col, shingle_n)).alias("shingle"),
+        F.col(id_col).alias("doc_id"), word_hashes(text_col).alias("_wh")
+    ).select(
+        "doc_id",
+        F.explode(word_shingle_hashes_from(F.col("_wh"), shingle_n)).alias("shingle"),
     )
     ev = eval_docs.select(
         F.col(eval_id_col).alias("eval_id"),
-        word_shingle_hashes(eval_text_col, shingle_n).alias("sh"),
+        word_hashes(eval_text_col).alias("_wh"),
+    ).select(
+        "eval_id", word_shingle_hashes_from(F.col("_wh"), shingle_n).alias("sh")
     ).select(
         "eval_id", F.size("sh").alias("ne"), F.explode("sh").alias("shingle")
     )

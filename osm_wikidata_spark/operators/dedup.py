@@ -165,16 +165,59 @@ def near_dup_clusters(
     )
 
 
-def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of the normalised text."""
-    words = F.split(normalize_text(text_col), " ")
-    # slide an n-window over the word array with transform + slice
+def split_words(text_col: str = "text") -> F.Column:
+    """Words of the normalised text — the shared shingle substrate.
+
+    MATERIALISE THIS (a ``select``/``withColumn`` of its own) before
+    feeding it to :func:`word_shingles_from` / :func:`word_shingle_hashes_from`:
+    an inline ``slice(split(...), i, n)`` inside a per-element lambda
+    re-evaluates the whole split for EVERY shingle — O(W²) per document
+    (measured 3.42 s vs 0.25 s for the sf0.1 shingle scan, 13.7×).  A
+    staged projection is evaluated once per row and, verified in the
+    optimized plan, is NOT re-inlined by CollapseProject (the reference
+    sits under a lambda), so the split shows up exactly once.
+    """
+    return F.split(normalize_text(text_col), " ")
+
+
+def word_hashes(text_col: str = "text") -> F.Column:
+    """Per-word xxhash64 array of the normalised text (materialise —
+    see :func:`split_words`)."""
+    return F.transform(split_words(text_col), lambda x: F.xxhash64(x))
+
+
+def word_shingles_from(words: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingle STRINGS from a MATERIALISED words
+    array column (O(n) per shingle; see :func:`split_words`)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
             lambda i: F.array_join(F.slice(words, i, n), " "),
         )
     )
+
+
+def word_shingle_hashes_from(wh: F.Column, n: int = 3) -> F.Column:
+    """Distinct shingle-hash identities from a MATERIALISED per-word-hash
+    array column (O(n) per shingle; see :func:`split_words`)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(wh) - (n - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.slice(wh, i, n)),
+        )
+    )
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of the normalised text.
+
+    PERF: inline form — the per-shingle lambda re-evaluates the split
+    (O(W²) per doc).  Operators on a document corpus should stage
+    :func:`split_words` in a projection and use
+    :func:`word_shingles_from`; this form is fine for short strings
+    (names) and kept for compatibility.
+    """
+    return word_shingles_from(F.split(normalize_text(text_col), " "), n)
 
 
 def word_shingle_hashes(text_col: str = "text", n: int = 3) -> F.Column:
@@ -187,15 +230,13 @@ def word_shingle_hashes(text_col: str = "text", n: int = 3) -> F.Column:
     instead of 50+-byte strings.  Identity is exact up to xxhash64
     collisions (~W^2/2^65 per document); use where the consumer needs
     shingle IDENTITY (joins, distincts, counts), not shingle text.
+
+    PERF: inline form — see :func:`word_shingles`; corpus-scale callers
+    stage :func:`word_hashes` and use :func:`word_shingle_hashes_from`.
     """
-    wh = F.transform(
-        F.split(normalize_text(text_col), " "), lambda x: F.xxhash64(x)
-    )
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(wh) - (n - 1), F.lit(1))),
-            lambda i: F.xxhash64(F.slice(wh, i, n)),
-        )
+    return word_shingle_hashes_from(
+        F.transform(F.split(normalize_text(text_col), " "), lambda x: F.xxhash64(x)),
+        n,
     )
 
 
@@ -228,9 +269,13 @@ def minhash_band_keys(
     # xxhash64 (seeded per hash function) instead of seeded md5: ~an order
     # of magnitude cheaper per shingle and the min-wise property only needs
     # a uniform hash family, not a cryptographic one.
+    # words are STAGED in their own projection (split_words contract):
+    # the inline shingle expression re-evaluated the split per shingle —
+    # O(W²) per document.
     shingled = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        F.col(id_col).alias("doc"), split_words(text_col).alias("_w")
+    ).select(
+        "doc", F.explode(word_shingles_from(F.col("_w"), shingle_n)).alias("shingle")
     )
     mins = shingled.groupBy("doc").agg(
         *[
@@ -353,9 +398,13 @@ def ngram_jaccard_pairs(
     # null-text gate: see minhash_band_keys — null docs would otherwise
     # share a constant one-element shingle set (J=1.0 with every other
     # null doc), an unprunable identical-set k² group
+    # per-word hashes STAGED in their own projection (split_words
+    # contract: the inline form re-ran split+hash per shingle, O(W²)/doc)
     with_sets = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
-        word_shingle_hashes(text_col, shingle_n).alias("sh"),
+        word_hashes(text_col).alias("_wh"),
+    ).select(
+        "doc", word_shingle_hashes_from(F.col("_wh"), shingle_n).alias("sh")
     ).withColumn("set_size", F.size("sh"))
     # the shingle-set subtree feeds THREE consumers (inverted index + both
     # sides of the verification join); without a persist each one re-runs
@@ -496,9 +545,12 @@ def simhash_table(
     # xxhash64 over the shingle: the per-bit votes only need a uniform
     # 64-bit hash (bits 0..59 are extracted below); sign extension is
     # irrelevant to single-bit masks
+    # words staged in their own projection (split_words contract —
+    # inline shingling re-split the text per shingle, O(W²)/doc)
     shingled = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        F.col(id_col).alias("doc"), split_words(text_col).alias("_w")
+    ).select(
+        "doc", F.explode(word_shingles_from(F.col("_w"), shingle_n)).alias("shingle")
     ).withColumn("h", F.xxhash64("shingle"))
     votes = shingled.groupBy("doc").agg(
         *[

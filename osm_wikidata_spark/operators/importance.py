@@ -61,20 +61,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import normalize_text
+from .dedup import normalize_text, split_words
 
 _U32 = float(2**32)  # md5 8-hex-char prefix space
 
 
-def gram_buckets(text_col: str = "text", hex_chars: int = 3) -> F.Column:
-    """Hashed unigram+bigram bag of the normalised text (MULTISET — unlike
-    :func:`~.dedup.word_shingles` repeats count, per the DSIR likelihoods).
-
-    Bucket id is the first ``hex_chars`` hex chars of the gram's md5 —
-    a string key, so no engine-specific hex→int conversion is needed and
-    the bucket space is ``16^hex_chars`` (4096 at the default).
-    """
-    words = F.split(normalize_text(text_col), " ")
+def gram_buckets_from(words: F.Column, hex_chars: int = 3) -> F.Column:
+    """Hashed unigram+bigram buckets from a MATERIALISED words array
+    column (see :func:`~.dedup.split_words` for why staging matters:
+    the inline form re-ran the split inside the per-bigram lambda —
+    O(W²) per document, and this expression is evaluated over the full
+    corpus TWICE per DSIR run by design)."""
     bigrams = F.when(
         F.size(words) >= 2,
         F.transform(
@@ -85,6 +82,21 @@ def gram_buckets(text_col: str = "text", hex_chars: int = 3) -> F.Column:
     return F.transform(
         F.concat(words, bigrams), lambda g: F.substring(F.md5(g), 1, hex_chars)
     )
+
+
+def gram_buckets(text_col: str = "text", hex_chars: int = 3) -> F.Column:
+    """Hashed unigram+bigram bag of the normalised text (MULTISET — unlike
+    :func:`~.dedup.word_shingles` repeats count, per the DSIR likelihoods).
+
+    Bucket id is the first ``hex_chars`` hex chars of the gram's md5 —
+    a string key, so no engine-specific hex→int conversion is needed and
+    the bucket space is ``16^hex_chars`` (4096 at the default).
+
+    PERF: inline form (the words split re-evaluates per bigram) — the
+    operators below stage :func:`~.dedup.split_words` in a projection
+    and call :func:`gram_buckets_from`.
+    """
+    return gram_buckets_from(split_words(text_col), hex_chars)
 
 
 def _ratio_dim(
@@ -102,7 +114,9 @@ def _ratio_dim(
 
     b_space = float(16**hex_chars)
     grams = lambda df, side: df.select(  # noqa: E731
-        F.explode(gram_buckets(text_col, hex_chars)).alias("bucket"),
+        split_words(text_col).alias("_w")
+    ).select(
+        F.explode(gram_buckets_from(F.col("_w"), hex_chars)).alias("bucket"),
         F.lit(side).alias("side"),
     )
     counts = (
@@ -156,8 +170,10 @@ def importance_weights(
     ratio_dim = _ratio_dim(docs, target, text_col, hex_chars)
 
     grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(gram_buckets(text_col, hex_chars)).alias("bucket"),
+        F.col(id_col).alias("doc_id"), split_words(text_col).alias("_w")
+    ).select(
+        "doc_id",
+        F.explode(gram_buckets_from(F.col("_w"), hex_chars)).alias("bucket"),
     )
     return (
         grams.join(F.broadcast(ratio_dim), "bucket")
