@@ -63,14 +63,34 @@ def main() -> None:
 
     if "dsir" in groups:
         from osm_wikidata_spark.operators import importance
+        from osm_wikidata_spark.operators.dedup import split_words
 
+        # _inline: the pre-r06 expression shape (gram_buckets inlines the
+        # words split under the per-element lambda — O(W²)/doc), kept as
+        # the before-evidence for the staging fix; _staged mirrors the
+        # operators' current two-projection shape.
         spark.sparkContext.setJobDescription("dsir: gram scan only")
         timed(
             spark,
-            "dsir_gram_scan_docs",
+            "dsir_gram_scan_docs_inline",
             lambda: _noop(
                 docs()
                 .select(F.explode(importance.gram_buckets("text", 3)).alias("b"))
+                .groupBy("b")
+                .agg(F.count("*").alias("n"))
+            ),
+        )
+        timed(
+            spark,
+            "dsir_gram_scan_docs_staged",
+            lambda: _noop(
+                docs()
+                .select(split_words("text").alias("_w"))
+                .select(
+                    F.explode(
+                        importance.gram_buckets_from(F.col("_w"), 3)
+                    ).alias("b")
+                )
                 .groupBy("b")
                 .agg(F.count("*").alias("n"))
             ),
@@ -202,7 +222,7 @@ def main() -> None:
 
         timed(
             spark,
-            "decon_train_shingles_only",
+            "decon_train_shingles_inline",
             lambda: _noop(
                 d.filter(F.col("doc_id") % 50 != 0)
                 .filter(F.col("text").isNotNull())
@@ -230,7 +250,7 @@ def main() -> None:
 
         timed(
             spark,
-            "ngram_with_sets_only",
+            "ngram_with_sets_inline",
             lambda: _noop(
                 docs()
                 .filter(F.col("text").isNotNull())

@@ -391,7 +391,16 @@ def adjusted_rand_index(
                 total > 0,
                 F.col("sa").cast("double") * F.col("sb").cast("double") / total,
             ).otherwise(F.lit(0.0)).alias("expected"),
-            ((F.col("sa") + F.col("sb")) / F.lit(2.0)).alias("max_index"),
+            # sa + sb promoted to DOUBLE before adding: each _comb_sum
+            # exports up to ~9.2e18, so the BIGINT sum wraps (non-ANSI)
+            # or fails the job (ANSI) when both runs carry a ~4.3e9-item
+            # mega-cluster — the same degenerate design point the sa·sb
+            # double promotion above hardens (values identical below
+            # 2^53 either way)
+            (
+                (F.col("sa").cast("double") + F.col("sb").cast("double"))
+                / F.lit(2.0)
+            ).alias("max_index"),
         )
     )
     denom = F.col("max_index") - F.col("expected")

@@ -58,7 +58,7 @@ def global_rank(
         if n_buckets is not None
         else df.repartitionByRange(*cols)
     )
-    # the eager localCheckpoint is LOAD-BEARING for correctness, not an
+    # the localCheckpoint is LOAD-BEARING for correctness, not an
     # optimisation (same hazard as operators/packing.py, where the
     # double exchange was observed in the executed plan): the ranked
     # branch and the counts branch below both consume this frame, and
@@ -68,9 +68,15 @@ def global_rank(
     # silently corrupting ranks once sampling is partial (at toy scale
     # the sample covers every row, which is why this never failed a
     # test).  Checkpointing pins one physical partitioning for both.
+    # LAZY (r06): the RDD and its RangePartitioner are created (and the
+    # bounds sampled once) at this call; eager=False only moves the
+    # materialisation into the first consuming action, saving one whole
+    # driver round-trip per rank — recomputation of a partition is
+    # value-identical because the window below orders by the sort
+    # columns, so ranks never depend on arrival order.
     parted = parted.withColumn(
         "_snm_part", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("_snm_part").orderBy(*cols)
     ranked = parted.withColumn("_snm_rn", F.row_number().over(w))
     # exclusive running count per range partition: #partitions rows, so

@@ -107,7 +107,12 @@ def pack_sequences(
         docs.select(*needed)
         .repartitionByRange(n_parts, F.col(order), F.col(id_col))
         .withColumn("_pack_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # LAZY (r06): bounds are sampled once when this RDD is created
+        # here; eager=False just folds the materialisation into the first
+        # consuming action (one fewer driver round-trip) — per-partition
+        # recomputation is value-identical because both windows order by
+        # (order, id), never by arrival order
+        .localCheckpoint(eager=False)
     )
     # pass 1: exclusive running sum WITHIN each segment — n-way parallel
     w_in = (

@@ -449,3 +449,56 @@ def test_salted_hot_cells_spread_across_tasks(spark):
         assert per_task["mx"] / per_task["total"] < 0.6, per_task
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_shingle_words_staged_once(spark):
+    """r06 O(W²) regression pin: the words/word-hash array must be
+    MATERIALISED in its own projection below the shingle transform, so the
+    text split is evaluated once per row — the inline form re-evaluated
+    `split(normalize(text))` inside the per-element lambda (once per
+    shingle, O(W²)/doc; measured 13.7x on the sf0.1 shingle scan).  The
+    optimized plan must show exactly ONE split of the text per gram
+    stream, and CollapseProject must not have re-inlined the staged
+    column."""
+    from osm_wikidata_spark.operators import dedup, importance
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+    # ngram with_sets shape (word_shingle_hashes_from over staged hashes)
+    with_sets = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("doc"), dedup.word_hashes("text").alias("_wh"))
+        .select("doc", dedup.word_shingle_hashes_from(F.col("_wh"), 3).alias("sh"))
+    )
+    opt = with_sets._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1, f"split inlined back:\n{opt}"
+
+    # dsir gram stream shape
+    grams = docs.select(dedup.split_words("text").alias("_w")).select(
+        F.explode(importance.gram_buckets_from(F.col("_w"), 3)).alias("bucket")
+    )
+    opt = grams._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1, f"split inlined back:\n{opt}"
+
+
+def test_cc_large_star_has_no_dedup_aggregate(spark):
+    """r06 CC round pin: the mid-round `_canonical` between large-star and
+    small-star was removed (large-star emits no self-loops — min_n < v
+    strictly — and duplicates are min-neutral inside small-star's window;
+    small-star's own canonical still dedups the round output).  Large-star
+    alone must therefore plan as window-over-union with NO aggregate — a
+    reappearing HashAggregate would mean the extra per-round exchange of
+    the full edge set is back (measured 2.83 s → 1.99 s on the chain-graph
+    A/B)."""
+    from osm_wikidata_spark.operators import components as C
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "u bigint, v bigint"
+    )
+    plan = _formatted_plan(C._large_star(e))
+    assert "Aggregate" not in plan, f"dedup aggregate back in large-star:\n{plan}"
+    assert "Window" in plan
+    # small-star still canonicalises the round output (the dedup the
+    # algorithm itself needs)
+    round_plan = _formatted_plan(C._small_star(C._large_star(e)))
+    assert "Aggregate" in round_plan
