@@ -59,9 +59,18 @@ def stage(
 ) -> DataFrame:
     """Materialise one pipeline stage, or reuse a prior run's output.
 
-    With ``run_dir=None`` checkpointing is off; the stage output is cached
-    in memory instead so downstream stages don't recompute it (tests /
-    small runs).
+    With ``run_dir=None`` durable checkpointing is off; the stage output
+    is localCheckpoint-ed (lazily) instead, so downstream stages neither
+    recompute it NOR re-plan through it.  r06 evidence for checkpoint
+    over ``.cache()``: a cached stage keeps its full child plan inside
+    the InMemoryRelation, so every downstream query re-analyses the
+    whole pipeline tree — the flagship's event log showed a 6.75 s
+    driver-only gap (no job running) before the first real job, pure
+    Catalyst time over the accumulated plan.  The LogicalRDD leaf a
+    localCheckpoint leaves behind truncates that walk; like ``.cache()``
+    the data is executor-pinned and non-fault-tolerant, which is exactly
+    the tests/small-runs contract of the ``run_dir=None`` path (durable
+    runs pass ``run_dir`` and get parquet stages).
 
     ``params`` fingerprints the stage's parameterisation: re-running the
     same ``run_dir`` with different parameters rebuilds the stage instead of
@@ -69,7 +78,7 @@ def stage(
     a max_block_size=50 run from a max_block_size=500 one).
     """
     if run_dir is None:
-        return build().cache()
+        return build().localCheckpoint(eager=False)
     path = os.path.join(run_dir, name)
     fingerprint = _params_hash(params)
     if not (_done(path) and _manifest_matches(path, fingerprint)):
