@@ -640,7 +640,20 @@ def semdedup(
         .filter(F.col("cell").isNotNull())
         .select(F.col(id_col).alias("doc"), "cell")
     )
-    kept, dropped = cap_buckets(cells, ["cell"], max_cell)
+    if max_cell is None:
+        # no cap requested: cap_buckets would still run a cell-size
+        # aggregate + keep join just to drop SINGLETON cells, which the
+        # self-join below drops anyway (a 1-member cell cannot satisfy
+        # left < right) — skip both stages; candidates are identical
+        # (r06 A/B: 4.11 s → 3.92 s min-of-3, output collect-identical).
+        # Unlike the LSH families, cells are few (k ≪ N), so singleton
+        # rows riding the join are O(k) noise at any scale.
+        kept = cells
+        dropped = cells.groupBy("cell").agg(F.count("*").alias("n")).filter(
+            F.lit(False)
+        )
+    else:
+        kept, dropped = cap_buckets(cells, ["cell"], max_cell)
     if dropped_sink is not None:
         dropped_sink(dropped)
     candidates = (
