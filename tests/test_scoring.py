@@ -468,6 +468,41 @@ def test_chargram_cosine_values(spark):
     assert got[(7, 8)] == 0.0
 
 
+def test_chargram_cosine_dedups_input_and_keeps_null_names(spark):
+    """r06 intersect-explode internals: (1) duplicate input rows collapse
+    to ONE output row whose value equals the unique-input value (the dot
+    is summed over the DEDUPLICATED frame, so copies cannot double it);
+    (2) a NULL name survives the null-safe norm-dim joins and scores 0.0
+    instead of falling out of a null-dropping join key."""
+    from osm_wikidata_spark.operators.scoring import (
+        chargram_cosine,
+        chargram_idf_dim,
+    )
+
+    corpus = spark.createDataFrame(
+        [("goldenrod lace",), ("goldenrd lace",)], "name string"
+    )
+    base = [
+        (1, 2, "goldenrod", "goldenrd"),
+        (3, 4, None, "goldenrd"),      # null left name
+        (5, 6, "goldenrod", None),     # null right name
+    ]
+    schema = "left_id int, right_id int, left_name string, right_name string"
+    uniq = spark.createDataFrame(base, schema)
+    dup = spark.createDataFrame(base + base, schema)
+    dim = chargram_idf_dim(corpus)
+    u = {
+        (r["left_id"], r["right_id"]): r["gram_cosine"]
+        for r in chargram_cosine(uniq, dim).collect()
+    }
+    d_rows = chargram_cosine(dup, dim).collect()
+    assert len(d_rows) == len(base)  # duplicates collapsed
+    d = {(r["left_id"], r["right_id"]): r["gram_cosine"] for r in d_rows}
+    assert d == u                    # values unaffected by duplication
+    assert u[(3, 4)] == 0.0 and u[(5, 6)] == 0.0
+    assert 0.5 < u[(1, 2)] < 1.0
+
+
 def test_chargram_cosine_is_pure_jvm(spark):
     """The family's zero-Python fuzzy scorer: no ArrowEvalPython, no
     BatchEvalPython anywhere in the plan."""
