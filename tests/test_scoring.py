@@ -187,6 +187,33 @@ def test_idf_weighted_overlap(spark):
     assert got_oov[4] == 1.0
 
 
+def test_idf_overlap_dedups_input_and_keeps_null_names(spark):
+    """r06 intersect-explode internals (same shape as chargram_cosine):
+    duplicate input rows collapse to ONE row with the unique-input value
+    (the intersect sum runs over the DEDUPLICATED frame now that the
+    denominator comes from per-name dims and no longer scales with copy
+    count), and NULL names survive the null-safe dim joins scoring 0.0."""
+    docs = spark.createDataFrame(
+        [("the red lion",), ("the boar",)], "name string"
+    )
+    dim = token_idf_dim(docs)
+    base = [
+        (1, "the red lion", "the boar"),
+        (2, None, "the boar"),
+        (3, "the red lion", None),
+    ]
+    schema = "pair_id int, left_name string, right_name string"
+    uniq = spark.createDataFrame(base, schema)
+    dup = spark.createDataFrame(base + base, schema)
+    u = {r["pair_id"]: r["idf_overlap"] for r in idf_token_overlap(uniq, dim).collect()}
+    d_rows = idf_token_overlap(dup, dim).collect()
+    assert len(d_rows) == len(base)
+    d = {r["pair_id"]: r["idf_overlap"] for r in d_rows}
+    assert d == u
+    assert u[2] == 0.0 and u[3] == 0.0
+    assert 0.0 < u[1] < 1.0
+
+
 def test_soundex_differential_fuzz(spark):
     """Spark's JVM soundex vs the independent DuckDB regexp/translate
     re-derivation (__spark_entry__._soundex_sql) — the q_soundex_blocks
