@@ -926,6 +926,45 @@ def test_repetition_stats_no_repetition_and_empty(spark):
     assert all(v == 0.0 for k, v in got[2].items() if k != "doc_id")
 
 
+def test_repetition_stats_sublength_null_and_cross_doc_isolation(spark):
+    """r06 numpy-kernel pins: (1) a doc shorter than n words contributes
+    its single sub-length gram (count 1, glen = all chars) exactly like
+    the JVM slice semantics; (2) null text yields an all-zero row;
+    (3) identical word runs in DIFFERENT docs of one Arrow batch must
+    not merge (the kernel keys runs on (doc, gram), and a window
+    crossing a doc boundary is discarded)."""
+    from osm_wikidata_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y"),          # 2 words < n=3: sub-length gram "x y"
+            (2, None),           # null text
+            (3, "p q r p q r"),  # dup 3-gram "p q r" x2 within doc
+            (4, "p q r s t u"),  # same prefix words, no dup in doc 4
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality.repetition_stats(
+            docs, top_ngram_ns=(3,), dup_ngram_ns=(3,)
+        ).collect()
+    }
+    # doc 1: one sub-length gram covering all 3 normalised chars
+    assert got[1]["top_3gram_frac"] == 1.0
+    assert got[1]["dup_3gram_frac"] == 0.0
+    # doc 2: all-zero row, present
+    assert all(v == 0.0 for k, v in got[2].items() if k != "doc_id")
+    # doc 3: "p q r" count 2 (plus boundary-straddling grams once each):
+    # top = 2*5=10 chars of 11; dup = 10/11
+    assert got[3]["top_3gram_frac"] == round(10 / 11, 6)
+    assert got[3]["dup_3gram_frac"] == round(10 / 11, 6)
+    # doc 4 shares "p q r" with doc 3 but has no within-doc duplicate:
+    # a cross-doc merge would show up here
+    assert got[4]["dup_3gram_frac"] == 0.0
+    assert got[4]["top_3gram_frac"] == round(5 / 11, 6)
+
+
 def test_pii_counts_and_redaction(spark):
     from osm_wikidata_spark.operators import pii
 
