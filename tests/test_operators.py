@@ -54,6 +54,46 @@ def test_simhash(spark):
     assert (4, 5) not in pairs
 
 
+def test_simhash_vote_kernel_matches_naive_and_chunking(spark):
+    """r06 numpy-vote-kernel pins: the per-doc bit-count fold must equal
+    the naive per-bit +/-1 vote computed from the SAME JVM xxhash64
+    shingle hashes, including across the 65,536-shingle chunk boundary
+    (a >65k-shingle doc exercises the chunked accumulation path)."""
+    from pyspark.sql import functions as F
+
+    from osm_wikidata_spark.operators.dedup import (
+        simhash_table, split_words, word_shingles_from,
+    )
+
+    big = " ".join(f"w{i % 9973}x{i % 7}" for i in range(70000))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, big)], "doc_id bigint, text string"
+    )
+    # words staged in their own projection (split_words contract — the
+    # inline form is O(W²)/doc, pathological on the 70k-word doc)
+    hashes = {
+        r["doc_id"]: r["hs"]
+        for r in docs.select("doc_id", split_words("text").alias("_w"))
+        .select(
+            "doc_id",
+            F.transform(
+                word_shingles_from(F.col("_w"), 3), lambda s: F.xxhash64(s)
+            ).alias("hs"),
+        )
+        .collect()
+    }
+    sims = {r["doc"]: r["sim"] for r in simhash_table(docs).collect()}
+    for doc_id, hs in hashes.items():
+        n = len(hs)
+        expect = 0
+        for b in range(60):
+            ones = sum((h >> b) & 1 for h in hs)
+            if 2 * ones > n:
+                expect |= 1 << b
+        assert sims[doc_id] == expect, doc_id
+    assert len(hashes[2]) > 65536  # the chunked path actually ran
+
+
 def test_ngram_jaccard_exact_threshold_boundary(spark):
     """A pair sitting exactly at the threshold must be found: float noise in
     ceil(t·|S|) once shortened the prefix by one (0.55·20 → 11.0000…02)."""
