@@ -1670,6 +1670,101 @@ def test_stratified_take_exact_counts(spark):
         sampling.stratified_take(df, ["source"], ["doc_id"], 0)
 
 
+def test_semdedup_kernel_matches_join_fold_shape(spark):
+    """r06 pin: the per-cell numpy pair kernel must reproduce the former
+    cell-self-join + zip_with-fold verify EXACTLY — same surviving pairs,
+    same rounded cosines — on a randomized corpus that includes a
+    zero-norm vector (former try_divide NULL → dropped) and values near
+    the threshold.  The reference is the old shape built inline from the
+    same column expressions."""
+    import random
+
+    from osm_wikidata_spark.operators.similarity import (
+        _norm_cosine,
+        ivf_assign,
+        l2_norm,
+    )
+
+    rng = random.Random(20260822)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(40)
+    ]
+    rows.append((40, [0.0] * 8))  # zero-norm: NULL cosine, must never pair
+    # planted near-dups so the threshold actually bites
+    base = rows[3][1]
+    rows.append((41, [x * 1.01 for x in base]))
+    rows.append((42, [x * 0.99 for x in base]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0 if j == c else 0.0 for j in range(8)] for c in range(2)]
+    threshold = 0.6
+
+    cells = (
+        ivf_assign(vecs, cents)
+        .filter(F.col("cell").isNotNull())
+        .select(F.col("vec_id").alias("doc"), "cell")
+    )
+    candidates = (
+        cells.select(F.col("doc").alias("left_id"), "cell")
+        .join(cells.select(F.col("doc").alias("right_id"), "cell"), "cell")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+    )
+    lv = vecs.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("embedding").alias("lv"),
+        l2_norm(F.col("embedding")).alias("ln"),
+    )
+    rv = vecs.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("embedding").alias("rv"),
+        l2_norm(F.col("embedding")).alias("rn"),
+    )
+    old_pairs = (
+        candidates.join(lv, "left_id")
+        .join(rv, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(
+                _norm_cosine(F.col("lv"), F.col("rv"), F.col("ln"), F.col("rn")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    kernel_pairs = (
+        ivf_assign(vecs, cents)
+        .filter(F.col("cell").isNotNull())
+        .select(F.col("vec_id").alias("doc"), F.col("embedding").alias("_v"), "cell")
+        .groupBy("cell")
+        .applyInPandas(
+            similarity._cell_pair_kernel(threshold),
+            "left_id long, right_id long, cos double",
+        )
+        .select("left_id", "right_id", F.round("cos", 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    a = sorted(map(tuple, old_pairs.collect()))
+    b = sorted(map(tuple, kernel_pairs.collect()))
+    assert a == b and len(a) > 0
+
+    # tile-boundary pin: a 3-wide tile must tile-split this cell several
+    # times and still emit the identical pair set
+    tiled = (
+        ivf_assign(vecs, cents)
+        .filter(F.col("cell").isNotNull())
+        .select(F.col("vec_id").alias("doc"), F.col("embedding").alias("_v"), "cell")
+        .groupBy("cell")
+        .applyInPandas(
+            similarity._cell_pair_kernel(threshold, block=3),
+            "left_id long, right_id long, cos double",
+        )
+        .select("left_id", "right_id", F.round("cos", 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    c = sorted(map(tuple, tiled.collect()))
+    assert a == c
+
+
 def test_semdedup_planted_clusters(spark):
     """Within-cell semantic dups close transitively; cross-cell near-dups
     are invisible by design (the SemDeDup trade); null vectors never pair."""
