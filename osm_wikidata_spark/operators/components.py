@@ -124,14 +124,17 @@ def connected_components(
     ``persist`` dedups execution but not the logical tree the planner
     walks, and an RDD round-trip pickles every row through Python.
     """
-    def _signature(df: DataFrame) -> tuple:
-        """Order-independent set signature: one cheap aggregate per round
+    def _sig_agg(df: DataFrame) -> DataFrame:
+        """Order-independent set signature as a 1-row aggregate frame
         (count + sum of row hashes) instead of an exceptAll join."""
-        row = df.agg(
+        return df.agg(
             F.count("*").alias("n"),
             # decimal sum: xxhash64 values overflow bigint under ANSI mode
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
+        )
+
+    def _signature(df: DataFrame) -> tuple:
+        row = _sig_agg(df).first()
         return (row["n"], row["h"])
 
     # LAZY localCheckpoint + eager signature: the signature aggregate is
@@ -144,13 +147,27 @@ def connected_components(
     e = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     if checkpoint:
         e = e.localCheckpoint(eager=False)
-    sig = _signature(e)
+    sig = None
 
     for _ in range(max_iterations):
         stepped = _small_star(_large_star(e))
         if checkpoint:
             stepped = stepped.localCheckpoint(eager=False)
-        new_sig = _signature(stepped)
+        if sig is None:
+            # round 1 folds the INPUT signature into its own job (a union
+            # of the two 1-row aggregates): the input checkpoint is a
+            # shared dependency computed once, so the former standalone
+            # input-signature action — pure per-action scheduling latency
+            # at any scale — disappears.  Signature values are unchanged.
+            rows = (
+                _sig_agg(e).withColumn("_w", F.lit(0))
+                .unionByName(_sig_agg(stepped).withColumn("_w", F.lit(1)))
+                .collect()
+            )
+            by = {r["_w"]: (r["n"], r["h"]) for r in rows}
+            sig, new_sig = by[0], by[1]
+        else:
+            new_sig = _signature(stepped)
         e = stepped
         if new_sig == sig:
             break
