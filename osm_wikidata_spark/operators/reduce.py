@@ -51,13 +51,22 @@ def _keep_unique_preferred(
     candidate satisfies ``others_ok``; otherwise the group passes unchanged.
     """
     w = Window.partitionBy(group_col)
-    flagged = cands.withColumn("__pref", preferred.cast("int")).withColumn(
-        "__other_bad", (~preferred & ~others_ok).cast("int")
+    # withColumns (plural): each withColumn re-analyzes the whole plan,
+    # and this rule family chains ~10 rules — batching the projections
+    # keeps plan-build time linear in the rule count (measured on
+    # q_reduce_candidates: see OPTIMIZATION_r06.md)
+    flagged = cands.withColumns(
+        {
+            "__pref": preferred.cast("int"),
+            "__other_bad": (~preferred & ~others_ok).cast("int"),
+        }
     )
-    counted = (
-        flagged.withColumn("__n", F.count("*").over(w))
-        .withColumn("__n_pref", F.sum("__pref").over(w))
-        .withColumn("__n_bad", F.sum("__other_bad").over(w))
+    counted = flagged.withColumns(
+        {
+            "__n": F.count("*").over(w),
+            "__n_pref": F.sum("__pref").over(w),
+            "__n_bad": F.sum("__other_bad").over(w),
+        }
     )
     shrink = (
         (F.col("__n") >= min_group)
@@ -84,17 +93,17 @@ def prefer_tag_match_over_building_only_match(
     w = Window.partitionBy(group_col)
     good = F.col("name_match") & ~is_building_only(F.col("matching_tags"))
     flagged = cands.withColumn("__good", good.cast("int"))
-    counted = (
-        flagged.withColumn("__n", F.count("*").over(w))
-        .withColumn("__n_good", F.sum("__good").over(w))
-        .withColumn(
-            "__min_good_dist",
-            F.min(F.when(F.col("__good") == 1, F.col("dist"))).over(w),
-        )
-        .withColumn(
-            "__min_less_dist",
-            F.min(F.when(F.col("__good") == 0, F.col("dist"))).over(w),
-        )
+    counted = flagged.withColumns(
+        {
+            "__n": F.count("*").over(w),
+            "__n_good": F.sum("__good").over(w),
+            "__min_good_dist": F.min(
+                F.when(F.col("__good") == 1, F.col("dist"))
+            ).over(w),
+            "__min_less_dist": F.min(
+                F.when(F.col("__good") == 0, F.col("dist"))
+            ).over(w),
+        }
     )
     nearby_building_exception = (F.col("__min_good_dist") > 100) & (
         F.col("__min_less_dist") < 10
@@ -185,8 +194,8 @@ def prefer_stop_area_relation(
     flagged = cands.withColumn(
         "__sa", F.coalesce(is_stop_area, F.lit(False)).cast("int")
     )
-    counted = flagged.withColumn("__n", F.count("*").over(w)).withColumn(
-        "__n_sa", F.sum("__sa").over(w)
+    counted = flagged.withColumns(
+        {"__n": F.count("*").over(w), "__n_sa": F.sum("__sa").over(w)}
     )
     shrink = (
         (F.col("__n") >= 2)
@@ -225,18 +234,17 @@ def prefer_farmhouse(
     False)."""
     w = Window.partitionBy(group_col)
     order_key = F.struct(F.length("name"), F.col("name"))
-    counted = (
-        cands.withColumn("__n", F.count("*").over(w))
-        .withColumn(
-            "__n_unnamed",
+    counted = cands.withColumns(
+        {
+            "__n": F.count("*").over(w),
             # the reference bails on falsy names ('not c.get("name")',
             # matcher.py:968-970): empty string counts as unnamed too
-            F.sum(
+            "__n_unnamed": F.sum(
                 (F.col("name").isNull() | (F.col("name") == "")).cast("int")
             ).over(w),
-        )
-        .withColumn("__house_name", F.lower(F.min_by("name", order_key).over(w)))
-        .withColumn("__farm_name", F.lower(F.max_by("name", order_key).over(w)))
+            "__house_name": F.lower(F.min_by("name", order_key).over(w)),
+            "__farm_name": F.lower(F.max_by("name", order_key).over(w)),
+        }
     )
     farm_start = F.regexp_extract(F.col("__farm_name"), _FARMHOUSE_PATTERN, 1)
     shrink = (
@@ -327,17 +335,21 @@ def filter_station(cands: DataFrame, group_col: str = "item_id") -> DataFrame:
     is_station = F.array_contains(mt, "railway=station")
     is_tram = F.array_contains(mt, "railway=tram_stop")
     is_pt = F.array_contains(mt, "public_transport=station")
-    flagged = (
-        cands.withColumn("__st", is_station.cast("int"))
-        .withColumn("__tr", is_tram.cast("int"))
-        .withColumn("__pt", is_pt.cast("int"))
+    flagged = cands.withColumns(
+        {
+            "__st": is_station.cast("int"),
+            "__tr": is_tram.cast("int"),
+            "__pt": is_pt.cast("int"),
+        }
     )
-    counted = (
-        flagged.withColumn("__n", F.count("*").over(w))
-        .withColumn("__n_st", F.sum("__st").over(w))
-        .withColumn("__n_tr", F.sum("__tr").over(w))
-        .withColumn("__n_pt", F.sum("__pt").over(w))
-        .withColumn("__n_pt_bad", F.sum((~is_pt & ~is_tram).cast("int")).over(w))
+    counted = flagged.withColumns(
+        {
+            "__n": F.count("*").over(w),
+            "__n_st": F.sum("__st").over(w),
+            "__n_tr": F.sum("__tr").over(w),
+            "__n_pt": F.sum("__pt").over(w),
+            "__n_pt_bad": F.sum((~is_pt & ~is_tram).cast("int")).over(w),
+        }
     )
     branch1 = (
         (F.col("__n") >= 2)
@@ -376,16 +388,15 @@ def filter_building(
     w = Window.partitionBy(group_col)
     is_way = F.col("osm_type") == "way"
     is_node = F.col("osm_type") == "node"
-    counted = (
-        cands.withColumn("__n", F.count("*").over(w))
-        .withColumn("__n_way", F.sum(is_way.cast("int")).over(w))
-        .withColumn("__n_node", F.sum(is_node.cast("int")).over(w))
-        .withColumn(
-            "__way_building",
-            F.max(
+    counted = cands.withColumns(
+        {
+            "__n": F.count("*").over(w),
+            "__n_way": F.sum(is_way.cast("int")).over(w),
+            "__n_node": F.sum(is_node.cast("int")).over(w),
+            "__way_building": F.max(
                 (is_way & F.map_contains_key(F.col("tags"), "building")).cast("int")
             ).over(w),
-        )
+        }
     )
     shrink = (
         (F.col("__n") >= 2)
@@ -408,10 +419,12 @@ def filter_reservoir(
     w = Window.partitionBy(group_col)
     is_way = F.col("osm_type") == "way"
     is_node = F.col("osm_type") == "node"
-    counted = (
-        cands.withColumn("__n", F.count("*").over(w))
-        .withColumn("__n_way", F.sum(is_way.cast("int")).over(w))
-        .withColumn("__n_node", F.sum(is_node.cast("int")).over(w))
+    counted = cands.withColumns(
+        {
+            "__n": F.count("*").over(w),
+            "__n_way": F.sum(is_way.cast("int")).over(w),
+            "__n_node": F.sum(is_node.cast("int")).over(w),
+        }
     )
     shrink = (
         (F.col("__n") >= 2)
@@ -478,11 +491,13 @@ def filter_distant_exact(cands: DataFrame, group_col: str = "item_id") -> DataFr
     ).over(w)
     near = F.col("dist") < 50
     mid = (F.col("dist") >= 50) & (F.col("dist") < 1000)
-    counted = (
-        cands.withColumn("__place", has_place)
-        .withColumn("__n", F.count("*").over(w))
-        .withColumn("__n_near", F.sum(near.cast("int")).over(w))
-        .withColumn("__n_mid", F.sum(mid.cast("int")).over(w))
+    counted = cands.withColumns(
+        {
+            "__place": has_place,
+            "__n": F.count("*").over(w),
+            "__n_near": F.sum(near.cast("int")).over(w),
+            "__n_mid": F.sum(mid.cast("int")).over(w),
+        }
     )
     shrink = (
         (F.col("__place") == 0)
